@@ -1,0 +1,41 @@
+"""Per-site emission log-likelihood tables.
+
+The observation density depends on the latent state only through the regime
+index r (Beta-Binomial with regime-specific shapes; singleGroup.h:611-627,
+case_control_regime_model.py:197-231). Instead of evaluating the density per
+particle (as both reference engines do), we precompute one (T, R) table
+
+    E[t, r] = sum_s log BetaBinomial(y[t, s]; n[t, s], alpha_r, beta_r)
+
+in a single vectorised pass; the filters then just gather E[t, r_particle].
+This turns the per-step observation work from O(N * S) transcendental calls
+into an int gather — the TPU-idiomatic formulation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hygeia_tpu.ops.distributions import beta_binomial_log_pmf
+
+
+def emission_log_prob_table(n_methylated, n_total, alpha, beta, dtype=None):
+    """Build the (T, R) emission table.
+
+    Args:
+      n_methylated: (T, S) methylated read counts (float or int).
+      n_total: (T, S) total read counts.
+      alpha, beta: (R,) Beta shape parameters per regime.
+      dtype: compute dtype; default float32 (TPU). Pass float64 on CPU for
+        bit-level parity comparisons against the reference's double engine.
+
+    Sites with zero total reads contribute log BB(0; 0, a, b) = 0, matching
+    the reference's behaviour on imputed all-missing sites
+    (preprocess_bed.py:398-402 imputes 0 reads; BB(0;0) has mass 1).
+    """
+    dtype = dtype or jnp.float32
+    y = jnp.asarray(n_methylated, dtype)[:, :, None]  # (T, S, 1)
+    n = jnp.asarray(n_total, dtype)[:, :, None]
+    a = jnp.asarray(alpha, dtype)[None, None, :]  # (1, 1, R)
+    b = jnp.asarray(beta, dtype)[None, None, :]
+    return jnp.sum(beta_binomial_log_pmf(y, n, a, b), axis=1)  # (T, R)

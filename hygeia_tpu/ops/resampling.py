@@ -1,0 +1,185 @@
+"""Resampling schemes for the particle filters, as fixed-shape JAX ops.
+
+Implements the three schemes the reference supports (Smc.h:16-21,
+resampling_functions.py):
+
+* multinomial
+* systematic
+* optimal finite-state (Fearnhead 1998)
+
+All functions take `log_weights` of static length N (entries may be -inf for
+dead particle slots) and return exactly `num_offspring` parent indices. The
+reference's data-dependent while-loops (resampling_functions.py:12-23,56-69;
+resample.h:333-342) are replaced by closed-form vectorised computations
+(argsort + cumulative sums + searchsorted), which map onto the VPU without
+serialising the scan step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -jnp.inf
+
+
+class ResampleResult(NamedTuple):
+    parent_indices: jnp.ndarray  # (M,) int32
+    log_c: jnp.ndarray  # scalar; 0.0 for unbiased schemes
+    use_unbiased: jnp.ndarray  # scalar bool; True -> weight formula w/Z/M
+    # C++-style post-resampling log-unnormalised weights for the M ancestors
+    # (kept: previous weight; resampled: logZ - log_c). Mirrors
+    # resample.h:350-364. Only meaningful for the optimal scheme.
+    new_log_weights: jnp.ndarray  # (M,)
+
+
+def _normalise(log_weights):
+    log_z = jax.scipy.special.logsumexp(log_weights)
+    return log_weights - log_z, log_z
+
+
+def systematic_resampling(key, log_norm_weights, num_offspring):
+    """Systematic resampling: M offspring from normalised log-weights.
+
+    Mirrors resampling_functions.py:56-69 (and resample.h:119-141): grid
+    points T_j = (j + U)/M against the weight CDF; offspring j gets the first
+    index i with T_j <= Q_i. The sequential while-loop is replaced by
+    `searchsorted` on the cumulative sum.
+    """
+    m = num_offspring
+    u = jax.random.uniform(key, (), dtype=jnp.float32)
+    t = (jnp.arange(m, dtype=jnp.float32) + u) / m
+    q = jnp.cumsum(jnp.exp(log_norm_weights))
+    idx = jnp.searchsorted(q, t, side="left")
+    return jnp.clip(idx, 0, log_norm_weights.shape[0] - 1).astype(jnp.int32)
+
+
+def multinomial_resampling(key, log_weights, num_offspring):
+    """Multinomial resampling via Gumbel-max categorical draws."""
+    return jax.random.categorical(
+        key, log_weights, shape=(num_offspring,)
+    ).astype(jnp.int32)
+
+
+def unbiased_resampling(key, log_weights, num_offspring, multinomial=False):
+    """Unbiased (systematic or multinomial) resampling.
+
+    Mirrors resampling_functions.py:71-80: all offspring get equal
+    post-resampling weight Z/M (signalled by use_unbiased=True).
+    """
+    log_norm, log_z = _normalise(log_weights)
+    if multinomial:
+        parents = multinomial_resampling(key, log_weights, num_offspring)
+    else:
+        parents = systematic_resampling(key, log_norm, num_offspring)
+    new_w = jnp.full((num_offspring,), log_z - jnp.log(float(num_offspring)))
+    return ResampleResult(
+        parent_indices=parents,
+        log_c=jnp.asarray(0.0, log_weights.dtype),
+        use_unbiased=jnp.asarray(True),
+        new_log_weights=new_w.astype(log_weights.dtype),
+    )
+
+
+def optimal_finite_state_resampling(key, log_weights, num_offspring):
+    """Fearnhead's optimal finite-state resampling, fully vectorised.
+
+    Finds the threshold c with sum_i min(1, c * W_i) = M, keeps the K
+    particles with c*W_i > 1 deterministically, and systematic-resamples the
+    remaining M-K offspring from the residual weights. Post-resampling
+    unnormalised weights: kept -> previous weight, resampled -> Z/c.
+
+    Mirrors resampling_functions.py:7-52 and resample.h:289-409, including:
+    * the fallback to multinomial resampling with unbiased Z/M weights when
+      log_c is non-finite (resampling_functions.py:42-47), and
+    * the degenerate keep-top-M path when fewer than M particles have
+      positive weight (resample.h:366-408).
+
+    The reference's c-threshold fixed-point while-loop
+    (resampling_functions.py:12-23) is replaced by a closed-form scan over
+    all candidate K values: K is the smallest k with c_k * q_k <= 1 where
+    c_k = (M - k) / Q_k, q the sorted (desc) normalised weights and Q_k the
+    suffix sum. Equivalence with the iterative version is covered by
+    tests/test_resampling.py.
+    """
+    n = log_weights.shape[0]
+    m = num_offspring
+    dtype = log_weights.dtype
+
+    log_norm, log_z = _normalise(log_weights)
+    order = jnp.argsort(-log_norm, stable=True)
+    sorted_lw = log_norm[order]
+    q = jnp.exp(sorted_lw)
+    # Suffix sums Q_k = sum_{i >= k} q_i (reverse cumsum).
+    suffix = jnp.cumsum(q[::-1])[::-1]
+
+    k_range = jnp.arange(n, dtype=dtype)
+    log_c_k = jnp.log(jnp.maximum(m - k_range, 0.0)) - jnp.log(suffix)
+    # Candidate k is consistent iff c_k*q_k <= 1 and (k == 0 or c_k*q_{k-1} > 1)
+    # and k <= m. (Strictness matches the reference's `> 0` count.)
+    below = log_c_k + sorted_lw <= 0.0
+    prev_lw = jnp.concatenate([jnp.array([jnp.inf], dtype), sorted_lw[:-1]])
+    above_prev = log_c_k + prev_lw > 0.0
+    ok = below & above_prev & (k_range <= m)
+    any_ok = jnp.any(ok)
+    k_star = jnp.argmax(ok)  # first consistent k
+    # No consistent k (e.g. fewer than M finite weights): mirror the
+    # reference's K >= N clamp with log_c = -inf (resampling_functions.py:29-31).
+    k_star = jnp.where(any_ok, k_star, n)
+    log_c = jnp.where(any_ok, log_c_k[jnp.clip(k_star, 0, n - 1)], _NEG_INF)
+
+    # Deterministically-kept parents: first K sorted indices.
+    slots = jnp.arange(m)
+    kept_parents = order[jnp.clip(slots, 0, n - 1)]
+
+    # Residual systematic resampling over sorted weights K..N-1.
+    resid_mask = k_range >= k_star
+    resid_lw = jnp.where(resid_mask, sorted_lw, _NEG_INF)
+    resid_norm, _ = _normalise(resid_lw)
+    key_sys, key_mult = jax.random.split(key)
+    # Draw M offspring positions; only positions >= K are used.
+    l = jnp.maximum(m - k_star, 1)
+    u = jax.random.uniform(key_sys, (), dtype=jnp.float32)
+    t = (jnp.arange(m, dtype=jnp.float32) + u) / l.astype(jnp.float32)
+    q_resid = jnp.cumsum(jnp.exp(resid_norm))
+    resampled_pos = jnp.clip(jnp.searchsorted(q_resid, t, side="left"), 0, n - 1)
+    # Offspring j: kept parent if j < K, else the (j - K)-th systematic draw.
+    sys_idx = jnp.clip(slots - k_star, 0, m - 1)
+    resampled_parents = order[resampled_pos[sys_idx]]
+    parents = jnp.where(slots < k_star, kept_parents, resampled_parents)
+
+    # Post-resampling weights (C++ semantics, resample.h:350-364).
+    new_w = jnp.where(slots < k_star, log_weights[parents], log_z - log_c)
+
+    # Fallback when log_c is non-finite: multinomial with unbiased weights
+    # (resampling_functions.py:42-47).
+    bad = ~jnp.isfinite(log_c)
+    mult_parents = multinomial_resampling(key_mult, log_weights, m)
+    parents = jnp.where(bad, mult_parents, parents).astype(jnp.int32)
+    new_w = jnp.where(bad, log_z - jnp.log(float(m)), new_w)
+    log_c = jnp.where(bad, jnp.asarray(0.0, dtype), log_c)
+
+    return ResampleResult(
+        parent_indices=parents,
+        log_c=log_c,
+        use_unbiased=bad,
+        new_log_weights=new_w.astype(dtype),
+    )
+
+
+def keep_top_m(log_weights, num_offspring):
+    """Keep the M particles with the largest weights (no resampling).
+
+    Mirrors Smc.h:432-441 / resample.h:366-375: ancestors are the top-M
+    indices sorted descending; their weights pass through unchanged.
+    """
+    order = jnp.argsort(-log_weights, stable=True)
+    parents = order[:num_offspring].astype(jnp.int32)
+    return ResampleResult(
+        parent_indices=parents,
+        log_c=jnp.asarray(0.0, log_weights.dtype),
+        use_unbiased=jnp.asarray(False),
+        new_log_weights=log_weights[parents],
+    )
