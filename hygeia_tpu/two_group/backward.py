@@ -1,0 +1,89 @@
+"""Backward simulation over the stored filter history.
+
+Mirrors backward_simulation (filter_and_smoother_algorithm.py:368-446): draw
+B terminal particles from the final weights, then walk backwards sampling
+ancestors from the backward kernel
+
+    B_t(b, n)  propto  w_t^n * f(x_{t+1}^b | x_t^n)
+
+(compute_log_backward_kernel_from_transition_matrix, smoothing_functions.py:
+27-44). The reference's reverse tf.while_loop with boolean-masked dynamic
+shapes becomes a reverse ``lax.scan`` over static (B, N) logits — dead
+particle slots are excluded by their -inf weights instead of masking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hygeia_tpu.two_group.model import State, TwoGroupParams, transition_log_prob
+
+_NEG_INF = -jnp.inf
+
+
+def backward_simulation(
+    key,
+    params: TwoGroupParams,
+    log_weights,  # (T, N) unnormalised filter weights
+    particles,  # (T, N, 5) stacked states
+    num_simulations: int,
+):
+    """Returns (T, B, 5) int32 sampled smoothing trajectories."""
+    T, N = log_weights.shape
+    B = num_simulations
+
+    key, k_last = jax.random.split(key)
+    last_lw = log_weights[T - 1]
+    idx = jax.random.categorical(k_last, last_lw, shape=(B,))
+    last_particle = particles[T - 1, idx]  # (B, 5)
+
+    def step(carry, inputs):
+        nxt_particle = carry  # (B, 5) particle at time t+1
+        lw_t, parts_t, k = inputs  # (N,), (N, 5), key
+        cur = State.unstack(parts_t)  # (N,)
+        cur_b = State(*(f[None, :] for f in cur))  # (1, N)
+        nxt = State.unstack(nxt_particle)
+        nxt_b = State(*(f[:, None] for f in nxt))  # (B, 1)
+        trans = transition_log_prob(params, cur_b, nxt_b)  # (B, N)
+        logits = jnp.where(
+            jnp.isfinite(trans) & (lw_t[None, :] > _NEG_INF),
+            lw_t[None, :].astype(trans.dtype) + trans,
+            _NEG_INF,
+        )
+        sel = jax.random.categorical(k, logits, axis=-1)  # (B,)
+        picked = parts_t[sel]  # (B, 5)
+        return picked, picked
+
+    # Reverse over t = T-2 .. 0; the transition evaluated at time t uses the
+    # particle sampled for t+1 (step index never hits the t=0 special case).
+    keys = jax.random.split(key, T - 1)
+    _, trajectory = jax.lax.scan(
+        step,
+        last_particle,
+        (log_weights[: T - 1], particles[: T - 1], keys),
+        reverse=True,
+    )
+    return jnp.concatenate([trajectory, last_particle[None]], axis=0)  # (T, B, 5)
+
+
+def smoothing_functionals(trajectory, n_regimes):
+    """Split probabilities and regime marginals from backward trajectories.
+
+    Mirrors test_function + reduce_mean (run_inference_two_groups.py:233-240,
+    294-296): returns (split_probs (T,), regime_probs (T, 2R)) where columns
+    0..R-1 are control regimes and R..2R-1 case regimes.
+    """
+    m = trajectory[..., 0]
+    r_c = trajectory[..., 2]
+    r_k = trajectory[..., 4]
+    split = jnp.mean((m == 0).astype(jnp.float32), axis=1)
+    ctrl = jnp.stack(
+        [jnp.mean((r_c == i).astype(jnp.float32), axis=1) for i in range(n_regimes)],
+        axis=-1,
+    )
+    case = jnp.stack(
+        [jnp.mean((r_k == i).astype(jnp.float32), axis=1) for i in range(n_regimes)],
+        axis=-1,
+    )
+    return split, jnp.concatenate([ctrl, case], axis=-1)

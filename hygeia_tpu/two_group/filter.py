@@ -1,0 +1,217 @@
+"""Deterministic-proposal particle filter for the two-group model.
+
+TPU-native re-design of filter_and_smoother_algorithm.py: the genome loop is
+one ``lax.scan`` (static shapes; dead particle slots carry -inf weights), the
+per-ancestor proposal while-loop is a vectorised (I, M) expansion, and the
+observation density is a table gather. Weight algebra, resampling branches
+and padding semantics mirror the reference exactly:
+
+* _filter_first_step (:141-172): R**2 initial proposals scored against the
+  phantom-state initial distribution, padded to N = M*I with -inf weights and
+  -1 particles (expand_collapsed_results :334-365).
+* _filter_one_step (:176-288): resample M ancestors (optimal finite-state,
+  falling back per :201-219), expand, weight update with the optimal
+  -min(0, log_c + log W_ancestor) correction (:244-270).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from hygeia_tpu.ops.resampling import (
+    optimal_finite_state_resampling,
+    unbiased_resampling,
+    keep_top_m,
+)
+from hygeia_tpu.two_group.model import (
+    State,
+    TwoGroupParams,
+    transition_log_prob,
+    phantom_state,
+)
+from hygeia_tpu.two_group.proposal import expand_states, initial_states, num_children
+
+_NEG_INF = -jnp.inf
+
+
+class FilterResult(NamedTuple):
+    log_weights: jnp.ndarray  # (T, N) unnormalised log weights
+    particles: jnp.ndarray  # (T, N, 5) int32 stacked states
+    log_normalizing_constant: jnp.ndarray  # scalar: logsumexp of final weights
+
+
+def run_filter(
+    key,
+    params: TwoGroupParams,
+    emission_control,  # (T, R) table
+    emission_case,  # (T, R) table
+    num_resampled_ancestors: int,
+    *,
+    optimal_resampling: bool = True,
+    multinomial_resampling: bool = False,
+    weight_dtype=jnp.float32,
+    phantom_regime=None,
+) -> FilterResult:
+    """Run the filter over T sites; returns full weight/particle history.
+
+    The reference uses float64 weights (filter_and_smoother_algorithm.py:11);
+    on TPU pass weight_dtype=float32 (default) — logsumexp renormalisation
+    keeps the algebra stable — and float64 on CPU for parity testing.
+    """
+    R = params.n_regimes
+    M = num_resampled_ancestors
+    I = num_children(R)
+    N = M * I
+    T = emission_control.shape[0]
+
+    key, k_init = jax.random.split(key)
+    init_lw, init_states = _first_step(
+        k_init,
+        params,
+        emission_control,
+        emission_case,
+        N,
+        weight_dtype,
+        phantom_regime,
+    )
+
+    def step(carry, inputs):
+        prev_lw, prev_particles = carry
+        t, k_step = inputs
+        new_lw, new_particles = _one_step(
+            k_step,
+            params,
+            emission_control,
+            emission_case,
+            t,
+            prev_lw,
+            State.unstack(prev_particles),
+            M,
+            optimal_resampling,
+            multinomial_resampling,
+        )
+        new_stacked = new_particles.stack()
+        return (new_lw, new_stacked), (new_lw, new_stacked)
+
+    ts = jnp.arange(1, T)
+    keys = jax.random.split(key, T - 1)
+    (final_lw, _), (lws, parts) = jax.lax.scan(
+        step, (init_lw, init_states.stack()), (ts, keys)
+    )
+    all_lw = jnp.concatenate([init_lw[None], lws], axis=0)
+    all_parts = jnp.concatenate([init_states.stack()[None], parts], axis=0)
+    return FilterResult(
+        log_weights=all_lw,
+        particles=all_parts,
+        log_normalizing_constant=logsumexp(final_lw),
+    )
+
+
+def _first_step(
+    key, params, emission_control, emission_case, n_max, weight_dtype, phantom_regime=None
+):
+    """R**2 initial proposals scored against the phantom-state prior.
+
+    The phantom regime is sampled uniformly (InitialControlState._sample_n,
+    case_control_distributions.py:67-74, via intitial_state_dist :234-244) —
+    only proposals with merged=1 and control regime != phantom regime get
+    finite weight, matching the reference's initial support.
+    """
+    R = params.n_regimes
+    proposals = initial_states(R)  # (R*R,)
+    if phantom_regime is None:
+        phantom_r = jax.random.randint(key, (), 0, R)
+    else:
+        phantom_r = jnp.asarray(phantom_regime, jnp.int32)
+    prev = phantom_state(phantom_r, (R * R,))
+    trans_lp = transition_log_prob(params, prev, proposals, step0=True)
+    obs_lp = emission_control[0, proposals.r_c] + emission_case[0, proposals.r_k]
+    lw = (trans_lp + obs_lp).astype(weight_dtype)
+
+    # Pad to N with -inf weights / -1 particles (expand_collapsed_results).
+    n0 = R * R
+    lw_full = jnp.full((n_max,), _NEG_INF, weight_dtype).at[:n0].set(lw)
+    pad = jnp.full((n_max - n0,), -1, jnp.int32)
+    fields = [
+        jnp.concatenate([f.astype(jnp.int32), pad]) for f in proposals
+    ]
+    return lw_full, State(*fields)
+
+
+def _one_step(
+    key,
+    params,
+    emission_control,
+    emission_case,
+    t,
+    prev_lw,
+    prev_particles: State,
+    M,
+    optimal_resampling,
+    multinomial_resampling,
+):
+    """One filter step; static shapes throughout.
+
+    Where the reference gathers only the finite-weight prefix
+    (num_prev_particles slicing, :194-199), we keep the full N-buffer: dead
+    ancestors (weight -inf) may be selected as top-M padding parents, and
+    their children inherit -inf weights — algebraically identical.
+    """
+    dtype = prev_lw.dtype
+    n_finite = jnp.sum(jnp.isfinite(prev_lw))
+    log_z_prev = logsumexp(prev_lw)
+    log_norm = prev_lw - log_z_prev
+
+    # --- resample M ancestors (resample block, :201-219) -------------------
+    need_resample = n_finite > M
+    if optimal_resampling:
+        res = optimal_finite_state_resampling(key, log_norm.astype(jnp.float32), M)
+    else:
+        res = unbiased_resampling(
+            key, log_norm.astype(jnp.float32), M, multinomial=multinomial_resampling
+        )
+    top = keep_top_m(prev_lw, M)
+    parents = jnp.where(need_resample, res.parent_indices, top.parent_indices)
+    log_c = jnp.where(need_resample, res.log_c.astype(dtype), 0.0)
+    use_unbiased = need_resample & res.use_unbiased
+
+    anc = State(*(f[parents] for f in prev_particles))
+
+    # --- deterministic expansion + densities -------------------------------
+    children = expand_states(anc, params.n_regimes)  # (I, M)
+    prev_b = State(*(f[None, :] for f in anc))
+    trans_lp = transition_log_prob(params, prev_b, children)  # (I, M)
+    obs_lp = (
+        emission_control[t, children.r_c] + emission_case[t, children.r_k]
+    )  # (I, M)
+    log_gamma = jnp.where(
+        jnp.isfinite(trans_lp),
+        trans_lp.astype(dtype) + obs_lp.astype(dtype),
+        _NEG_INF,
+    )
+
+    # --- weight update (:244-270) ------------------------------------------
+    prev_unnorm_anc = prev_lw[parents][None, :]  # (1, M)
+    prev_norm_anc = log_norm[parents][None, :]
+    w_no_resample = prev_unnorm_anc + log_gamma
+    w_unbiased = (-jnp.log(float(M)) + log_z_prev) + log_gamma
+    w_optimal = (
+        prev_unnorm_anc
+        + log_gamma
+        - jnp.minimum(jnp.zeros((), dtype), log_c + prev_norm_anc)
+    )
+    lw = jnp.where(
+        ~need_resample,
+        w_no_resample,
+        jnp.where(use_unbiased, w_unbiased, w_optimal),
+    )
+
+    # Flatten (I, M) -> (N,) with n = i*M + m, matching the reference's
+    # einsum-transpose + reshape (proposal_mappings :204, filter :228-229).
+    new_lw = lw.reshape(-1)
+    new_particles = State(*(f.reshape(-1) for f in children))
+    return new_lw, new_particles

@@ -1,0 +1,168 @@
+"""End-to-end correctness of the two-group filter + backward simulation,
+checked against EXACT forward-backward inference on the fully-enumerated
+state space (durations cannot exceed t+1, so enumeration is finite)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from hygeia_tpu.ops.emissions import emission_log_prob_table
+from hygeia_tpu.two_group.model import (
+    State,
+    transition_log_prob,
+    phantom_state,
+)
+from hygeia_tpu.two_group.filter import run_filter
+from hygeia_tpu.two_group.backward import backward_simulation, smoothing_functionals
+from hygeia_tpu.two_group.simulate import simulate
+from tests.test_two_group_model import default_params
+
+
+def _enumerate_state_space(R, T):
+    """All reachable (m, d_c, r_c, d_k, r_k) with durations in 1..T."""
+    states = []
+    for dc in range(1, T + 1):
+        for rc in range(R):
+            for dk in range(1, T + 1):
+                for rk in range(R):
+                    states.append((0, dc, rc, dk, rk))
+            # merged: case == control exactly
+            states.append((1, dc, rc, dc, rc))
+    return np.array(states, np.int32)
+
+
+def _exact_forward_backward(params, E_c, E_k, phantom_r, T):
+    """Exact log-normalising constant and smoothing marginals."""
+    R = params.n_regimes
+    S = _enumerate_state_space(R, T)
+    nS = len(S)
+    sj = State(*(jnp.asarray(S[:, i]) for i in range(5)))
+
+    # Stationary transition matrix A[i, j] = log f(S_j | S_i).
+    prev = State(*(jnp.asarray(S[:, i])[:, None] for i in range(5)))
+    nxt = State(*(jnp.asarray(S[:, i])[None, :] for i in range(5)))
+    A = np.asarray(transition_log_prob(params, prev, nxt))  # (nS, nS)
+
+    obs = np.asarray(E_c)[:, S[:, 2]] + np.asarray(E_k)[:, S[:, 4]]  # (T, nS)
+
+    ph = phantom_state(phantom_r, (nS,))
+    init_lp = np.asarray(transition_log_prob(params, ph, sj, step0=True))
+
+    # Forward pass.
+    log_alpha = np.full((T, nS), -np.inf)
+    log_alpha[0] = init_lp + obs[0]
+    for t in range(1, T):
+        log_alpha[t] = (
+            np.asarray(logsumexp(jnp.asarray(log_alpha[t - 1][:, None] + A), axis=0))
+            + obs[t]
+        )
+    log_z = float(logsumexp(jnp.asarray(log_alpha[T - 1])))
+
+    # Backward pass.
+    log_beta = np.zeros((T, nS))
+    for t in range(T - 2, -1, -1):
+        log_beta[t] = np.asarray(
+            logsumexp(jnp.asarray(A + (obs[t + 1] + log_beta[t + 1])[None, :]), axis=1)
+        )
+    log_post = log_alpha + log_beta - log_z
+    post = np.exp(log_post)
+    # Marginals: split prob + per-regime control/case.
+    split = post[:, S[:, 0] == 0].sum(axis=1)
+    ctrl = np.stack([post[:, S[:, 2] == r].sum(axis=1) for r in range(R)], -1)
+    case = np.stack([post[:, S[:, 4] == r].sum(axis=1) for r in range(R)], -1)
+    return log_z, split, ctrl, case
+
+
+def test_filter_and_backward_match_exact_inference():
+    T, R = 10, 3
+    params = default_params(R=R, min_duration=2, d_max=32)
+    rng = np.random.default_rng(11)
+    n_c = rng.poisson(25, size=(T, 1)).astype(np.float64)
+    n_k = rng.poisson(25, size=(T, 1)).astype(np.float64)
+    y_c = np.minimum(rng.poisson(10, size=(T, 1)), n_c)
+    y_k = np.minimum(rng.poisson(10, size=(T, 1)), n_k)
+    E_c = emission_log_prob_table(y_c, n_c, params.alpha, params.beta, dtype=jnp.float64)
+    E_k = emission_log_prob_table(y_k, n_k, params.alpha, params.beta, dtype=jnp.float64)
+
+    phantom_r = 1
+    log_z_exact, split_exact, ctrl_exact, case_exact = _exact_forward_backward(
+        params, E_c, E_k, phantom_r, T
+    )
+
+    M = 60  # enough particles that resampling error is tiny at T=10
+    res = run_filter(
+        jax.random.PRNGKey(0),
+        params,
+        E_c,
+        E_k,
+        M,
+        weight_dtype=jnp.float64,
+        phantom_regime=phantom_r,
+    )
+    log_z_pf = float(res.log_normalizing_constant)
+    np.testing.assert_allclose(log_z_pf, log_z_exact, rtol=0, atol=0.05)
+
+    traj = backward_simulation(
+        jax.random.PRNGKey(1), params, res.log_weights, res.particles, 4000
+    )
+    split_pf, regime_pf = smoothing_functionals(np.asarray(traj), R)
+    split_pf = np.asarray(split_pf)
+    regime_pf = np.asarray(regime_pf)
+    np.testing.assert_allclose(split_pf, split_exact, atol=0.05)
+    np.testing.assert_allclose(regime_pf[:, :R], ctrl_exact, atol=0.05)
+    np.testing.assert_allclose(regime_pf[:, R:], case_exact, atol=0.05)
+
+
+def test_filter_weights_shapes_and_padding():
+    T, R, M = 6, 3, 10
+    params = default_params(R=R, min_duration=2, d_max=16)
+    rng = np.random.default_rng(2)
+    n = rng.poisson(20, size=(T, 2)).astype(np.float64)
+    y = np.minimum(rng.poisson(8, size=(T, 2)), n)
+    E = emission_log_prob_table(y, n, params.alpha, params.beta, dtype=jnp.float64)
+    res = run_filter(
+        jax.random.PRNGKey(3), params, E, E, M, weight_dtype=jnp.float64
+    )
+    I = 2 * R + R * R
+    assert res.log_weights.shape == (T, M * I)
+    assert res.particles.shape == (T, M * I, 5)
+    lw0 = np.asarray(res.log_weights[0])
+    # First step: R*R proposals, rest -inf padding; support = R-1 particles.
+    assert np.all(np.isneginf(lw0[R * R:]))
+    assert np.isfinite(lw0[: R * R]).sum() == R - 1
+    # Padded particles are -1 (expand_collapsed_results semantics).
+    assert np.all(np.asarray(res.particles[0, R * R:]) == -1)
+    assert np.isfinite(float(res.log_normalizing_constant))
+
+
+def test_simulation_recovery():
+    """Simulate from the model and check the filter recovers the control
+    regimes (the de-facto integration test of the reference, SURVEY.md s4)."""
+    T, R = 60, 3
+    params = default_params(R=R, min_duration=2, d_max=128)
+    key = jax.random.PRNGKey(7)
+    n_c = 60.0 * np.ones((T, 2))
+    n_k = 60.0 * np.ones((T, 2))
+    sim = simulate(key, params, n_c, n_k)
+    E_c = emission_log_prob_table(
+        sim.obs_control, n_c, params.alpha, params.beta, dtype=jnp.float64
+    )
+    E_k = emission_log_prob_table(
+        sim.obs_case, n_k, params.alpha, params.beta, dtype=jnp.float64
+    )
+    res = run_filter(
+        jax.random.PRNGKey(8), params, E_c, E_k, 50, weight_dtype=jnp.float64
+    )
+    traj = backward_simulation(
+        jax.random.PRNGKey(9), params, res.log_weights, res.particles, 400
+    )
+    traj = np.asarray(traj)
+    true_states = np.asarray(sim.states)
+    # Posterior-mode control regime should recover the truth at most sites
+    # (high-coverage data, well-separated regimes).
+    post_mode = np.zeros(T, np.int32)
+    for t in range(T):
+        post_mode[t] = np.bincount(traj[t, :, 2], minlength=R).argmax()
+    accuracy = np.mean(post_mode == true_states[:, 2])
+    assert accuracy > 0.8, f"control regime recovery accuracy {accuracy}"
