@@ -1,0 +1,450 @@
+"""Single-group online combined inference: discrete change-point SMC +
+adaptive-lag marginal smoothing + online score-based parameter estimation,
+as ONE ``lax.scan`` over CpG sites.
+
+TPU-native re-design of the C++ engine:
+
+* Smc (Smc.h): particle-count growth N_t = min(R(t+1), N_max) is
+  *deterministic in t*, so the dynamic particle vectors become one fixed
+  N_max buffer with layout [continuations | fresh CP particles | dead], and
+  all branch decisions are computed from the step index. Weights are
+  renormalised each step (shift-invariant algebra; shifts accumulate into
+  the log-normalising constant) so float32 is safe on TPU.
+* OnlineMarginalSmoothing (OnlineMarginalSmoothing.h): the variable pending
+  set becomes a fixed ring buffer of S_cap entries with a valid mask;
+  entries finalise when all R filtered variances drop below epsilon
+  (:219-231), and if the buffer fills, the oldest pending entry is
+  force-finalised (spill counter reported — the reference's unbounded
+  std::vector has no such cap).
+* OnlineParameterEstimation + GradientAscent: the per-particle score
+  statistics phi follow the same ancestor/backward-kernel recursion
+  (:135-170); theta is updated every `steps_per_update` steps with the
+  reference's exact ADAM variant and a/(i+1)^b learning-rate schedule
+  (GradientAscent.h:109-155).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from hygeia_tpu.ops.resampling import optimal_finite_state_resampling, keep_top_m
+from hygeia_tpu.single_group.model import (
+    SingleGroupModel,
+    ThetaTables,
+    build_tables,
+)
+
+_NEG_INF = -jnp.inf
+
+
+class EngineConfig(NamedTuple):
+    n_particles_max: int = 250  # N_max (CLI --n_particles default)
+    epsilon: float = 0.01  # smoothing finalisation threshold
+    smoothing_window: int = 128  # S_cap ring-buffer depth
+    estimate_regimes: bool = True
+    estimate_parameters: bool = False
+    steps_per_update: int = 200  # --n_steps_without_parameter_update
+    learning_rate_exponent: float = 0.1
+    learning_rate_factor: float = 0.01
+    use_adam: bool = True
+    normalise_gradients: bool = False
+
+
+class EngineResult(NamedTuple):
+    regime_probs: jnp.ndarray  # (T, R) marginal smoothing estimates
+    regime_valid: jnp.ndarray  # (T,) bool — False only if spilled over T cap
+    theta_trace: jnp.ndarray  # (T, dim_theta)
+    log_normalizing_constant: jnp.ndarray  # scalar
+    spill_count: jnp.ndarray  # times the smoothing ring buffer overflowed
+    final_theta: jnp.ndarray  # (dim_theta,)
+    final_score: jnp.ndarray  # (dim_theta,) filtered mean of phi at the last
+    # step — the Poyiadjis score estimate of d log Z / d theta (diagnostics
+    # and the Fisher-identity test in tests/)
+
+
+def _grad_p_block_columns(R):
+    """Static (R, R) column-index map: colidx[r_prev, j] is the theta column
+    of P-row-gradient entry j for block r_prev (j == r_prev unused -> last
+    col sentinel handled by caller masking)."""
+    col = np.zeros((R, R), np.int32)
+    for rp in range(R):
+        for j in range(R):
+            if j == rp:
+                col[rp, j] = 0  # masked out by caller
+            else:
+                pos = j if j < rp else j - 1
+                col[rp, j] = rp * (R - 1) + pos
+    return jnp.asarray(col)
+
+
+def run_online_combined_inference(
+    key,
+    model: SingleGroupModel,
+    theta_init,
+    emissions,  # (T, R) emission log-lik table (ops/emissions)
+    config: EngineConfig,
+    weight_dtype=jnp.float32,
+):
+    """Run the combined algorithm over T sites.
+
+    Mirrors OnlineCombinedInference::run (OnlineCombinedInference.h:48-118):
+    initialise, then per step: smc.iterate -> evaluateBackwardKernels ->
+    smoothing.update -> parameterEstimation.update.
+    """
+    R = model.n_regimes
+    N = config.n_particles_max
+    M_cap = N - R
+    S_cap = config.smoothing_window
+    D = model.dim_theta
+    T = emissions.shape[0]
+    eps = config.epsilon
+    dtype = weight_dtype
+
+    theta_init = jnp.asarray(theta_init, dtype)
+    tables0 = build_tables(model, theta_init)
+    col_map = _grad_p_block_columns(R)
+
+    # ---- initialisation (Smc::initialise + computeInitialWeightsCp) -------
+    slot = jnp.arange(N)
+    d0 = jnp.where(slot < R, 1, 0).astype(jnp.int32)
+    r0 = jnp.where(slot < R, slot, 0).astype(jnp.int32)
+    w0 = jnp.where(
+        slot < R,
+        -jnp.log(float(R)) + emissions[0, r0].astype(dtype),
+        _NEG_INF,
+    )
+    shift0 = logsumexp(w0)
+    w0 = w0 - shift0
+
+    # Smoothing state: psi entry for time 0 in ring slot 0.
+    psi0 = jnp.zeros((S_cap, R, N), dtype)
+    test0 = (r0[None, :] == jnp.arange(R)[:, None]).astype(dtype)  # (R, N)
+    psi0 = psi0.at[0].set(jnp.where(slot[None, :] < R, test0, 0.0))
+    psi_time0 = jnp.full((S_cap,), T, jnp.int32).at[0].set(0)
+    psi_valid0 = jnp.zeros((S_cap,), bool).at[0].set(True)
+    out0 = jnp.zeros((T + 1, R), jnp.float32)
+    out_valid0 = jnp.zeros((T + 1,), bool)
+
+    # Parameter-estimation state (initialisePhi: gradients of the initial
+    # density and observation density are zero, singleGroup.h:630-638,707-717).
+    phi0 = jnp.zeros((N, D), dtype)
+    grad_prev0 = jnp.zeros((D,), dtype)  # initialiseGradients
+    adam_m0 = jnp.zeros((D,), dtype)
+    adam_v0 = jnp.zeros((D,), dtype)
+
+    carry0 = dict(
+        d=d0,
+        r=r0,
+        w=w0,
+        psi=psi0,
+        psi_time=psi_time0,
+        psi_valid=psi_valid0,
+        out=out0,
+        out_valid=out_valid0,
+        spill=jnp.zeros((), jnp.int32),
+        phi=phi0,
+        theta=theta_init,
+        grad_prev=grad_prev0,
+        adam_m=adam_m0,
+        adam_v=adam_v0,
+        adam_iter=jnp.zeros((), jnp.int32),
+        tables=tables0,
+        score=jnp.zeros((D,), dtype),
+        key=key,
+    )
+
+    regimes = jnp.arange(R)
+
+    def _cp_log_density(tables, d_prev, r_prev, q):
+        """log f((1, q) | (d_prev, r_prev)); shapes broadcast."""
+        d_idx = jnp.clip(d_prev - 1, 0, model.d_max - 1)
+        rho = tables.rho[r_prev, d_idx]
+        exit_s = tables.exit_status[r_prev, d_idx]
+        log_rho_term = jnp.where(exit_s, 0.0, jnp.log(rho))
+        valid = (q != r_prev) & (d_prev >= model.u)
+        return jnp.where(valid, log_rho_term + tables.log_P[r_prev, q], _NEG_INF)
+
+    def _cont_log_density(tables, d_prev, r_prev):
+        # Guard rho <= 1 exactly as the C++ does (singleGroup.h:599-605):
+        # near the exit latch rho can numerically exceed 1, and log1p(-rho)
+        # would be NaN rather than -inf.
+        d_idx = jnp.clip(d_prev - 1, 0, model.d_max - 1)
+        rho = tables.rho[r_prev, d_idx]
+        exit_s = tables.exit_status[r_prev, d_idx]
+        return jnp.where(exit_s | (rho > 1.0), _NEG_INF, jnp.log1p(-rho))
+
+    def _grad_cont(tables, d_prev, r_prev):
+        """(..., D) gradient of the continuation log-density
+        (singleGroup.h:679-698): only the omega (and kappa) entries of the
+        previous regime are nonzero, scaled by -rho/(1-rho); zero on exit."""
+        d_idx = jnp.clip(d_prev - 1, 0, model.d_max - 1)
+        rho = tables.rho[r_prev, d_idx]
+        exit_s = tables.exit_status[r_prev, d_idx]
+        g_om = tables.grad_omega_log_rho[r_prev, d_idx]
+        coef = jnp.where(exit_s | (rho >= 1.0), 0.0, -rho / (1.0 - rho))
+        onehot_om = (
+            jnp.arange(D)[None, :] == (R * (R - 1) + r_prev)[..., None]
+        ).astype(dtype)
+        grad = onehot_om * (coef * g_om)[..., None]
+        if not model.kappa_fixed:
+            g_ka = tables.grad_kappa_log_rho[r_prev, d_idx]
+            onehot_ka = (
+                jnp.arange(D)[None, :] == (R * R + r_prev)[..., None]
+            ).astype(dtype)
+            grad = grad + onehot_ka * (coef * g_ka)[..., None]
+        return grad
+
+    def _grad_cp(tables, d_prev, r_prev, q):
+        """(Q, N, D) gradient of the change-point log-density
+        (singleGroup.h:655-677): omega entry = grad_omega_log_rho (kept even
+        on exit, reference behaviour), P-block entries 1[j==q] - P[r_prev,j];
+        zero where the density itself is zero."""
+        d_idx = jnp.clip(d_prev - 1, 0, model.d_max - 1)  # (N,)
+        valid = (q[:, None] != r_prev[None, :]) & (d_prev[None, :] >= model.u)
+        g_om = tables.grad_omega_log_rho[r_prev, d_idx]  # (N,)
+        cols = jnp.arange(D)[None, None, :]
+        om_col = (R * (R - 1) + r_prev)[None, :, None]
+        grad = (cols == om_col).astype(dtype) * g_om[None, :, None]  # (Q,N,D)
+        if not model.kappa_fixed:
+            g_ka = tables.grad_kappa_log_rho[r_prev, d_idx]
+            ka_col = (R * R + r_prev)[None, :, None]
+            grad = grad + (cols == ka_col).astype(dtype) * g_ka[None, :, None]
+        # P-row block: scatter values v_j = 1[j==q] - P[r_prev, j], j != r_prev.
+        j = jnp.arange(R)
+        vals = (
+            (j[None, None, :] == q[:, None, None]).astype(dtype)
+            - tables.P[r_prev][None, :, :]
+        )  # (Q, N, R)
+        pcols = col_map[r_prev]  # (N, R)
+        pmask = (j[None, :] != r_prev[:, None]).astype(dtype)  # (N, R)
+        # One-hot scatter over the P columns: (N, R, D) contracted on R.
+        onehot_p = (
+            jnp.arange(D)[None, None, :] == pcols[:, :, None]
+        ).astype(dtype) * pmask[:, :, None]
+        grad = grad + jnp.einsum("qnr,nrd->qnd", vals, onehot_p)
+        return jnp.where(valid[:, :, None], grad, 0.0)
+
+    def step(carry, t):
+        tables: ThetaTables = carry["tables"]
+        d_prev, r_prev, w_prev = carry["d"], carry["r"], carry["w"]
+
+        # Deterministic particle-count schedule (Smc.h:197-206).
+        n_prev = jnp.minimum(R * t, N)
+        m_t = jnp.minimum(R * (t + 1), N) - R
+        at_capacity = n_prev + R > N
+
+        # ---- resampleCp (Smc.h:406-450) -----------------------------------
+        n_finite = jnp.sum(jnp.isfinite(w_prev))
+        key = jax.random.fold_in(carry["key"], t)
+        res = optimal_finite_state_resampling(key, w_prev.astype(jnp.float32), M_cap)
+        top = keep_top_m(w_prev, M_cap)
+        # C++ fallback on non-finite log_c keeps top-M (resample.h:366-375),
+        # unlike the TF multinomial fallback baked into the op.
+        use_optimal = at_capacity & (n_finite > M_cap) & ~res.use_unbiased
+        anc = jnp.where(
+            at_capacity,
+            jnp.where(use_optimal, res.parent_indices, top.parent_indices),
+            jnp.arange(M_cap),  # growth phase: identity passthrough
+        )
+        anc_w = jnp.where(
+            at_capacity,
+            jnp.where(use_optimal, res.new_log_weights.astype(dtype), top.new_log_weights),
+            w_prev[jnp.arange(M_cap)],
+        )
+
+        # ---- sampleParticlesCp + computeWeightsCp (Smc.h:504-574) ---------
+        is_cont = slot < m_t
+        is_fresh = (slot >= m_t) & (slot < m_t + R)
+        anc_full = jnp.clip(jnp.where(is_cont, slot, 0), 0, M_cap - 1)
+        a = anc[anc_full]  # ancestor index per continuation slot
+        d_new = jnp.where(is_cont, d_prev[a] + 1, jnp.where(is_fresh, 1, 0)).astype(
+            jnp.int32
+        )
+        r_new = jnp.where(is_cont, r_prev[a], jnp.where(is_fresh, slot - m_t, 0)).astype(
+            jnp.int32
+        )
+        obs_t = emissions[t].astype(dtype)  # (R,)
+        cont_lp = _cont_log_density(tables, d_prev[a], r_prev[a]) + obs_t[r_new]
+        w_cont = anc_w[anc_full] + cont_lp
+
+        # Fresh weights marginalise over all previous particles (Smc.h:561-573).
+        cp_lp = _cp_log_density(
+            tables, d_prev[None, :], r_prev[None, :], regimes[:, None]
+        )  # (R, N) log f((1,q) | prev_n)
+        safe_prev_w = jnp.where(jnp.isfinite(w_prev), w_prev, _NEG_INF)
+        w_fresh_q = logsumexp(cp_lp.astype(dtype) + safe_prev_w[None, :], axis=1) + obs_t
+        fresh_idx = jnp.clip(slot - m_t, 0, R - 1)
+        w_new = jnp.where(is_cont, w_cont, jnp.where(is_fresh, w_fresh_q[fresh_idx], _NEG_INF))
+        shift = logsumexp(w_new)
+        w_new = w_new - shift
+        w_self = jnp.exp(w_new)  # self-normalised weights (dead slots -> 0)
+        w_self = jnp.where(jnp.isfinite(w_new), w_self, 0.0)
+
+        # ---- evaluateBackwardKernels (Smc.h:288-326) ----------------------
+        logB = cp_lp.astype(dtype) + safe_prev_w[None, :]  # (R, N)
+        logBZ = logsumexp(logB, axis=1, keepdims=True)
+        B = jnp.where(jnp.isfinite(logBZ), jnp.exp(logB - logBZ), 0.0)  # (R, N)
+
+        # ---- OnlineMarginalSmoothing::update ------------------------------
+        psi, psi_time, psi_valid = carry["psi"], carry["psi_time"], carry["psi_valid"]
+        out, out_valid, spill = carry["out"], carry["out_valid"], carry["spill"]
+        # updatePsi (:148-195): continuations gather ancestors, fresh mix via B.
+        psi_anc = psi[:, :, a]  # (S, R, N) gathered at continuation ancestors
+        psi_fresh = jnp.einsum("qn,srn->srq", B, psi)  # (S, R, R)
+        psi_new = jnp.where(
+            is_cont[None, None, :],
+            psi_anc,
+            jnp.where(is_fresh[None, None, :], psi_fresh[:, :, fresh_idx], 0.0),
+        )
+        psi_new = jnp.where(psi_valid[:, None, None], psi_new, 0.0)
+
+        # initialisePsi for time t: insert into a free ring slot; if full,
+        # force-finalise the oldest pending entry first (spill path).
+        means_pre = jnp.einsum("srn,n->sr", psi_new, w_self)  # (S, R)
+        has_free = jnp.any(~psi_valid)
+        free_slot = jnp.argmax(~psi_valid)
+        oldest = jnp.argmin(jnp.where(psi_valid, psi_time, T + 1))
+        ins = jnp.where(has_free, free_slot, oldest)
+        spill = spill + jnp.where(has_free, 0, 1)
+        out = jnp.where(
+            has_free,
+            out,
+            out.at[psi_time[ins]].set(means_pre[ins].astype(jnp.float32)),
+        )
+        out_valid = jnp.where(has_free, out_valid, out_valid.at[psi_time[ins]].set(True))
+
+        test_t = (r_new[None, :] == regimes[:, None]).astype(dtype) * (
+            (is_cont | is_fresh)[None, :]
+        ).astype(dtype)
+        psi_new = psi_new.at[ins].set(test_t)
+        psi_time = psi_time.at[ins].set(t)
+        psi_valid = psi_valid.at[ins].set(True)
+
+        # storeEstimates (:197-255): finalise entries whose R variances all
+        # drop below epsilon; on the final step finalise everything.
+        means = jnp.einsum("srn,n->sr", psi_new, w_self)
+        second = jnp.einsum("srn,n->sr", (psi_new - means[:, :, None]) ** 2, w_self)
+        all_below = jnp.all(second < eps, axis=1)
+        is_final = t == T - 1
+        fin = psi_valid & (all_below | is_final)
+        write_vals = jnp.where(
+            fin[:, None], means.astype(jnp.float32), out[psi_time]
+        )
+        out = out.at[psi_time].set(write_vals)
+        out_valid = out_valid.at[psi_time].set(
+            jnp.where(fin, True, out_valid[psi_time])
+        )
+        psi_valid = psi_valid & ~fin
+
+        # ---- OnlineParameterEstimation::update ----------------------------
+        phi = carry["phi"]
+        theta = carry["theta"]
+        grad_prev = carry["grad_prev"]
+        adam_m, adam_v, adam_iter = carry["adam_m"], carry["adam_v"], carry["adam_iter"]
+        if config.estimate_parameters:
+            g_cont = _grad_cont(tables, d_prev[a], r_prev[a])  # (N, D)
+            phi_cont = phi[a] + g_cont
+            g_cp = _grad_cp(tables, d_prev, r_prev, regimes)  # (R, N, D)
+            phi_fresh = jnp.einsum("qn,qnd->qd", B, phi[None, :, :] + g_cp)
+            phi_new = jnp.where(
+                is_cont[:, None],
+                phi_cont,
+                jnp.where(
+                    is_fresh[:, None],
+                    phi_fresh[fresh_idx],
+                    0.0,
+                ),
+            )
+            score = jnp.einsum("nd,n->d", phi_new, w_self)
+            do_update = (t % config.steps_per_update) == 0
+            grad_curr = score
+            gradient = grad_curr - grad_prev
+            lr = config.learning_rate_factor / jnp.power(
+                adam_iter.astype(dtype) + 1.0, config.learning_rate_exponent
+            )
+            if config.use_adam:
+                b1, b2, aeps = 0.9, 0.999, 1e-8
+                m2 = b1 * adam_m + (1 - b1) * gradient
+                v2 = b2 * adam_v + (1 - b2) * gradient * gradient
+                it1 = adam_iter.astype(dtype) + 1.0
+                delta = (
+                    lr
+                    * m2
+                    / (jnp.sqrt(v2 / (1.0 - jnp.power(b2, it1))) + aeps)
+                    / (1.0 - jnp.power(b1, it1))
+                )
+            else:
+                g = gradient
+                if config.normalise_gradients:
+                    g = g / jnp.maximum(jnp.sum(jnp.abs(g)), 1e-30)
+                m2, v2 = adam_m, adam_v
+                delta = lr * g
+            theta2 = theta + delta
+            theta = jnp.where(do_update, theta2, theta)
+            adam_m = jnp.where(do_update, m2, adam_m)
+            adam_v = jnp.where(do_update, v2, adam_v)
+            adam_iter = adam_iter + jnp.where(do_update, 1, 0)
+            grad_prev = jnp.where(do_update, grad_curr, grad_prev)
+            tables = jax.lax.cond(
+                do_update,
+                lambda th: build_tables(model, th),
+                lambda th: tables,
+                theta,
+            )
+            phi = phi_new
+        else:
+            score = carry["score"]
+
+        carry_out = dict(
+            d=d_new,
+            r=r_new,
+            w=w_new,
+            psi=psi_new,
+            psi_time=psi_time,
+            psi_valid=psi_valid,
+            out=out,
+            out_valid=out_valid,
+            spill=spill,
+            phi=phi,
+            theta=theta,
+            grad_prev=grad_prev,
+            adam_m=adam_m,
+            adam_v=adam_v,
+            adam_iter=adam_iter,
+            tables=tables,
+            score=score,
+            key=carry["key"],
+        )
+        return carry_out, (theta, shift)
+
+    # Initial-step smoothing estimate may finalise immediately; the reference
+    # calls storeEstimates at initialise() too (OnlineMarginalSmoothing.h:40-50).
+    means0 = jnp.einsum("srn,n->sr", psi0, jnp.exp(w0))
+    second0 = jnp.einsum(
+        "srn,n->sr", (psi0 - means0[:, :, None]) ** 2, jnp.exp(w0)
+    )
+    fin0 = psi_valid0 & jnp.all(second0 < eps, axis=1) & (T > 1)
+    carry0["out"] = jnp.where(
+        fin0[0], carry0["out"].at[0].set(means0[0].astype(jnp.float32)), carry0["out"]
+    )
+    carry0["out_valid"] = carry0["out_valid"].at[0].set(fin0[0])
+    carry0["psi_valid"] = psi_valid0 & ~fin0
+
+    ts = jnp.arange(1, T, dtype=jnp.int32)
+    carry_f, (theta_trace, shifts) = jax.lax.scan(step, carry0, ts)
+
+    theta_full = jnp.concatenate([theta_init[None], theta_trace], axis=0)
+    return EngineResult(
+        regime_probs=carry_f["out"][:T],
+        regime_valid=carry_f["out_valid"][:T],
+        theta_trace=theta_full,
+        log_normalizing_constant=shift0 + jnp.sum(shifts),
+        spill_count=carry_f["spill"],
+        final_theta=carry_f["theta"],
+        final_score=carry_f["score"],
+    )

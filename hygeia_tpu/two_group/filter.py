@@ -39,9 +39,9 @@ _NEG_INF = -jnp.inf
 
 
 class FilterResult(NamedTuple):
-    log_weights: jnp.ndarray  # (T, N) unnormalised log weights
+    log_weights: jnp.ndarray  # (T, N) per-step-normalised log weights
     particles: jnp.ndarray  # (T, N, 5) int32 stacked states
-    log_normalizing_constant: jnp.ndarray  # scalar: logsumexp of final weights
+    log_normalizing_constant: jnp.ndarray  # scalar: sum of per-step shifts
 
 
 def run_filter(
@@ -58,9 +58,14 @@ def run_filter(
 ) -> FilterResult:
     """Run the filter over T sites; returns full weight/particle history.
 
-    The reference uses float64 weights (filter_and_smoother_algorithm.py:11);
-    on TPU pass weight_dtype=float32 (default) — logsumexp renormalisation
-    keeps the algebra stable — and float64 on CPU for parity testing.
+    The reference uses float64 weights (filter_and_smoother_algorithm.py:11)
+    and lets the unnormalised weights accumulate over the whole segment —
+    after 100k sites their magnitude reaches ~1e6, where float32 has ~0.25
+    ulp and relative weights would be destroyed. We instead renormalise the
+    carried weights every step (this changes no algorithmic quantity: all
+    uses are shift-invariant) and accumulate the shifts into the
+    log-normalising constant, making float32 safe on TPU. Pass float64 on
+    CPU for parity testing.
     """
     R = params.n_regimes
     M = num_resampled_ancestors
@@ -79,6 +84,9 @@ def run_filter(
         phantom_regime,
     )
 
+    init_shift = logsumexp(init_lw)
+    init_lw = init_lw - init_shift
+
     def step(carry, inputs):
         prev_lw, prev_particles = carry
         t, k_step = inputs
@@ -94,12 +102,14 @@ def run_filter(
             optimal_resampling,
             multinomial_resampling,
         )
+        shift = logsumexp(new_lw)
+        new_lw = new_lw - shift
         new_stacked = new_particles.stack()
-        return (new_lw, new_stacked), (new_lw, new_stacked)
+        return (new_lw, new_stacked), (new_lw, new_stacked, shift)
 
     ts = jnp.arange(1, T)
     keys = jax.random.split(key, T - 1)
-    (final_lw, _), (lws, parts) = jax.lax.scan(
+    (final_lw, _), (lws, parts, shifts) = jax.lax.scan(
         step, (init_lw, init_states.stack()), (ts, keys)
     )
     all_lw = jnp.concatenate([init_lw[None], lws], axis=0)
@@ -107,7 +117,7 @@ def run_filter(
     return FilterResult(
         log_weights=all_lw,
         particles=all_parts,
-        log_normalizing_constant=logsumexp(final_lw),
+        log_normalizing_constant=init_shift + jnp.sum(shifts),
     )
 
 
