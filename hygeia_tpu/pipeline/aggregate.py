@@ -1,0 +1,141 @@
+"""Aggregate per-(batch, seed) inference outputs into per-chromosome tables.
+
+Replaces aggregate_results.py: walks `chrom_{chrom}_{batch}` result
+directories, concatenates backward-simulation particle archives across seeds
+(along the particle axis) and batches (along the genome axis), and writes the
+per-chromosome csv.gz outputs with the reference's exact names and layout
+(tab-separated, position-indexed; aggregate_results.py:165-206)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def aggregate_chromosome(
+    results_dir,
+    output_dir,
+    chrom,
+    *,
+    seeds,
+    num_particles,
+    num_batches,
+    compute_freqs=False,
+):
+    os.makedirs(output_dir, exist_ok=True)
+    N = num_particles
+
+    frames = {
+        k: []
+        for k in (
+            "positions",
+            "merged",
+            "ctrl_regime",
+            "case_regime",
+            "ctrl_dur",
+            "case_dur",
+            "n_tot_ctrl",
+            "n_tot_case",
+            "obs_ctrl",
+            "obs_case",
+            "split",
+        )
+    }
+    processed = 0
+    for batch in range(num_batches):
+        data_dir = os.path.join(results_dir, f"chrom_{chrom}_{batch}")
+        pos_file = os.path.join(data_dir, "positions.csv.gz")
+        if not os.path.isfile(pos_file):
+            break
+        positions = pd.read_table(pos_file, sep=",", header=None, dtype=np.int64)
+
+        merged_seeds, ctrl_seeds, case_seeds = [], [], []
+        for seed in range(seeds):
+            m = np.load(
+                os.path.join(
+                    data_dir,
+                    f"optimal_backward_particles_merged_state_{N}_{seed}.npz",
+                )
+            )["arr_0"]
+            c = np.load(
+                os.path.join(
+                    data_dir,
+                    f"optimal_backward_particles_control_state_{N}_{seed}.npz",
+                )
+            )["arr_0"]
+            k = np.load(
+                os.path.join(
+                    data_dir,
+                    f"optimal_backward_particles_case_state_{N}_{seed}.npz",
+                )
+            )["arr_0"]
+            merged_seeds.append(m)
+            ctrl_seeds.append(c)
+            case_seeds.append(k)
+        # Seeds concatenate along the particle axis (aggregate_results.py:125-127).
+        merged = np.concatenate(merged_seeds, axis=-1)
+        ctrl = np.concatenate(ctrl_seeds, axis=1)
+        case = np.concatenate(case_seeds, axis=1)
+
+        frames["positions"].append(positions)
+        frames["merged"].append(pd.DataFrame(merged).astype(np.int8))
+        # State archives are (T, B, 2) = (duration, regime) pairs.
+        frames["ctrl_regime"].append(pd.DataFrame(ctrl[:, :, 1]).astype(np.int8))
+        frames["case_regime"].append(pd.DataFrame(case[:, :, 1]).astype(np.int8))
+        frames["ctrl_dur"].append(pd.DataFrame(ctrl[:, :, 0]).astype(np.int16))
+        frames["case_dur"].append(pd.DataFrame(case[:, :, 0]).astype(np.int16))
+        for key, fname in (
+            ("n_tot_ctrl", "n_total_reads_control.csv.gz"),
+            ("n_tot_case", "n_total_reads_case.csv.gz"),
+            ("obs_ctrl", "observations_control.csv.gz"),
+            ("obs_case", "observations_case.csv.gz"),
+        ):
+            frames[key].append(
+                pd.read_table(os.path.join(data_dir, fname), sep=",", header=None).astype(
+                    np.int16
+                )
+            )
+        processed += 1
+
+    if processed == 0:
+        raise FileNotFoundError(
+            f"no batch outputs found under {results_dir} for chrom {chrom}"
+        )
+
+    pos = pd.concat(frames["positions"]).rename(columns={0: "pos"}).astype(np.int32)
+    index = pos["pos"]
+
+    def _write(df_list, name):
+        df = pd.concat(df_list)
+        df = df.set_index(index)
+        df.to_csv(
+            os.path.join(output_dir, name), sep="\t", compression="gzip"
+        )
+        return df
+
+    ctrl_regimes = _write(frames["ctrl_regime"], f"control_regimes_chrom_{chrom}.csv.gz")
+    case_regimes = _write(frames["case_regime"], f"case_regimes_chrom_{chrom}.csv.gz")
+    merged_states = _write(frames["merged"], f"merge_states_chrom_{chrom}.csv.gz")
+    split_probs = (merged_states == 0).mean(axis=1)
+    split_probs.to_csv(
+        os.path.join(output_dir, f"split_probs_{chrom}.csv.gz"),
+        sep="\t",
+        compression="gzip",
+    )
+    _write(frames["n_tot_ctrl"], f"n_total_reads_control_chrom_{chrom}.csv.gz")
+    _write(frames["n_tot_case"], f"n_total_reads_case_chrom_{chrom}.csv.gz")
+    _write(frames["obs_ctrl"], f"n_meth_reads_control_chrom_{chrom}.csv.gz")
+    _write(frames["obs_case"], f"n_meth_reads_case_chrom_{chrom}.csv.gz")
+    _write(frames["ctrl_dur"], f"control_durations_chrom_{chrom}.csv.gz")
+    _write(frames["case_dur"], f"case_durations_chrom_{chrom}.csv.gz")
+
+    if compute_freqs:
+        for df, name in (
+            (case_regimes, f"case_regimes_freq_{chrom}.csv"),
+            (ctrl_regimes, f"control_regimes_freq_{chrom}.csv"),
+        ):
+            freq = df.apply(lambda x: x.value_counts(normalize=True), axis=1)
+            freq.to_csv(os.path.join(output_dir, name), sep="\t")
+    return processed

@@ -1,0 +1,204 @@
+"""The `infer` verb: segment+buffer windowing, filter + backward simulation,
+reference-format outputs.
+
+Replaces run_inference_two_groups.py: identical flags-level semantics —
+segment slicing with halo buffers (:194-218), halo trimming via return_index
+(:213-218), and output files with the reference's exact names (:246-255,
+:298-322). Unlike the reference (one process per seed), `infer_segment` can
+run several seeds in a single device invocation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hygeia_tpu.ops.emissions import emission_log_prob_table
+from hygeia_tpu.two_group.model import make_params
+from hygeia_tpu.two_group.filter import run_filter
+from hygeia_tpu.two_group.backward import backward_simulation, smoothing_functionals
+from hygeia_tpu.utils import io as hio
+
+DEFAULT_MU = (0.95, 0.05, 0.80, 0.20, 0.50, 0.50)
+DEFAULT_SIGMA = (0.05, 0.05, 0.1, 0.1, 0.1, 0.2886751)
+
+
+def segment_window(n_positions, batch, segment_size, buffer_size):
+    """(slice_range, return_range) for a batch (run_inference_two_groups.py:
+    194-218). Returns None if the batch index is out of range."""
+    if batch * segment_size > n_positions:
+        return None
+    lo = max(0, batch * segment_size - buffer_size)
+    hi = min((batch + 1) * segment_size + buffer_size, n_positions)
+    n_slice = hi - lo
+    if batch == 0:
+        ret = range(0, min(n_slice, segment_size))
+    else:
+        ret = range(buffer_size, min(n_slice, buffer_size + segment_size))
+    return range(lo, hi), ret
+
+
+def infer_segment(
+    *,
+    data_dir,
+    single_group_dir,
+    results_dir,
+    chrom,
+    batch=0,
+    seed=0,
+    segment_size=100000,
+    buffer_size=5000,
+    mu=DEFAULT_MU,
+    sigma=DEFAULT_SIGMA,
+    minimum_duration=3,
+    omega_case=0.8,
+    merge_log_prob=np.log(0.1),
+    split_prob=0.01,
+    num_resampled_particles=(50,),
+    num_samples_backward=25,
+    multinomial=False,
+    weight_dtype=jnp.float32,
+):
+    """Run inference for one (chrom, batch, seed) work unit."""
+    mu = np.asarray(mu, np.float64)
+    R = len(mu)
+
+    theta = hio.read_theta(
+        os.path.join(single_group_dir, f"theta_{chrom}.csv.gz")
+    )
+    p_softmax, omega_logit_control = hio.theta_file_to_p_softmax(theta, R)
+
+    positions = hio.read_positions(os.path.join(data_dir, f"positions_{chrom}.txt.gz"))
+    window = segment_window(len(positions), batch, segment_size, buffer_size)
+    if window is None:
+        print("Batch index is too large for the chromosome")
+        return None
+    sl, ret = window
+    sl = slice(sl.start, sl.stop)
+    ret = slice(ret.start, ret.stop)
+
+    def _load(name):
+        return hio.read_count_matrix(
+            os.path.join(data_dir, f"{name}_{chrom}.txt.gz")
+        )[sl]
+
+    n_total_control = _load("n_total_reads_control")
+    n_meth_control = _load("n_methylated_reads_control")
+    n_total_case = _load("n_total_reads_case")
+    n_meth_case = _load("n_methylated_reads_case")
+    positions = positions[sl]
+    assert np.sum(n_total_case < n_meth_case) == 0
+    assert np.sum(n_total_control < n_meth_control) == 0
+    T = n_total_control.shape[0]
+
+    path = os.path.join(results_dir, f"chrom_{chrom}_{batch}")
+    os.makedirs(path, exist_ok=True)
+
+    # Save the trimmed inputs alongside the results (reference :246-255).
+    hio.write_count_matrix(
+        os.path.join(path, "observations_control.csv.gz"),
+        n_meth_control.astype(np.int16)[ret],
+    )
+    hio.write_count_matrix(
+        os.path.join(path, "observations_case.csv.gz"),
+        n_meth_case.astype(np.int16)[ret],
+    )
+    hio.write_count_matrix(
+        os.path.join(path, "n_total_reads_control.csv.gz"),
+        n_total_control.astype(np.int16)[ret],
+    )
+    hio.write_count_matrix(
+        os.path.join(path, "n_total_reads_case.csv.gz"),
+        n_total_case.astype(np.int16)[ret],
+    )
+    hio.write_count_matrix(
+        os.path.join(path, "positions.csv.gz"), positions[ret]
+    )
+
+    params = make_params(
+        mu=mu,
+        sigma=sigma,
+        p_softmax_control=p_softmax,
+        omega_logit_control=omega_logit_control,
+        omega_case=omega_case,
+        kappa_control=np.full(R, 2.0),
+        kappa_case=np.full(R, 2.0),
+        merge_log_prob=merge_log_prob,
+        split_prob=split_prob,
+        minimum_duration=minimum_duration,
+        d_max=max(64, T + 1),
+    )
+    E_c = emission_log_prob_table(n_meth_control, n_total_control, params.alpha, params.beta)
+    E_k = emission_log_prob_table(n_meth_case, n_total_case, params.alpha, params.beta)
+
+    log_norm_constants = {}
+    times = {}
+    times_backward = {}
+    for M in num_resampled_particles:
+        N = M * (2 * R + R * R)
+
+        @jax.jit
+        def run_m(key):
+            res = run_filter(
+                key,
+                params,
+                E_c,
+                E_k,
+                M,
+                optimal_resampling=True,
+                multinomial_resampling=multinomial,
+                weight_dtype=weight_dtype,
+            )
+            traj = backward_simulation(
+                jax.random.fold_in(key, 1),
+                params,
+                res.log_weights,
+                res.particles,
+                num_samples_backward,
+            )
+            split, regime = smoothing_functionals(traj, R)
+            return res.log_normalizing_constant, traj, split, regime
+
+        t0 = time.time()
+        key = jax.random.PRNGKey(seed)
+        log_z, traj, split, regime = run_m(key)
+        log_z = float(log_z)
+        traj = np.asarray(traj)
+        times[N] = time.time() - t0
+        log_norm_constants[N] = log_z
+
+        merged = traj[:, :, 0]
+        control_state = traj[:, :, 1:3]  # (duration, regime)
+        case_state = traj[:, :, 3:5]
+        np.savez_compressed(
+            os.path.join(path, f"optimal_backward_particles_merged_state_{N}_{seed}"),
+            merged.astype(np.int16)[ret],
+        )
+        np.savez_compressed(
+            os.path.join(path, f"optimal_backward_particles_control_state_{N}_{seed}"),
+            control_state.astype(np.int16)[ret],
+        )
+        np.savez_compressed(
+            os.path.join(path, f"optimal_backward_particles_case_state_{N}_{seed}"),
+            case_state.astype(np.int16)[ret],
+        )
+        np.savez_compressed(
+            os.path.join(path, f"optimal_split_probs_{N}_{seed}"), np.asarray(split)
+        )
+        np.savez_compressed(
+            os.path.join(path, f"optimal_regime_probs_{N}_{seed}"), np.asarray(regime)
+        )
+
+    with open(
+        os.path.join(path, f"log_normalizing_constants_optimal_{seed}.txt"), "w"
+    ) as f:
+        print(log_norm_constants, file=f)
+    with open(os.path.join(path, f"optimal_time_{seed}.txt"), "w") as f:
+        print(times, file=f)
+    with open(os.path.join(path, f"optimal_time_backward_{seed}.txt"), "w") as f:
+        print(times_backward, file=f)
+    return log_norm_constants

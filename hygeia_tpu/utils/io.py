@@ -1,0 +1,98 @@
+"""CSV readers/writers matching the reference's file formats.
+
+Two distinct conventions exist in the reference and both are preserved:
+
+* Two-group count files (preprocess output, read by `infer`): header-less,
+  comma-separated, one row per CpG site (`positions_{chrom}.txt.gz` etc.).
+* Single-group engine files (R tidyverse convention,
+  input_output_functions.R): headed CSVs; count matrices are stored
+  (n_sites, n_samples) with `sample_i` columns; the theta vector is a single
+  `data` column (read back by get_estimated_control_group_param,
+  run_inference_two_groups.py:76-89).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def _ensure_dir(path):
+    d = os.path.dirname(str(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+
+
+# ---------- two-group count files (header-less, comma-separated) ----------
+
+def read_count_matrix(path, dtype=np.float32):
+    """(T, S) matrix from a header-less comma-separated .txt.gz."""
+    return pd.read_table(path, sep=",", header=None).to_numpy(dtype)
+
+
+def read_positions(path):
+    return pd.read_table(path, sep=",", header=None).to_numpy(np.int64).ravel()
+
+
+def write_count_matrix(path, arr):
+    _ensure_dir(path)
+    np.savetxt(path, np.asarray(arr), delimiter=",", fmt="%s")
+
+
+# ---------- single-group engine files (headed CSVs) ----------
+
+def read_headed_matrix(path):
+    """(n_samples, n_sites): stored transposed with sample_i columns."""
+    return pd.read_csv(path).to_numpy().T
+
+
+def read_headed_column(path):
+    return pd.read_csv(path).iloc[:, 0].to_numpy()
+
+
+def write_headed_column(path, values, name):
+    _ensure_dir(path)
+    pd.DataFrame({name: np.asarray(values)}).to_csv(path, index=False)
+
+
+def write_headed_matrix(path, matrix, prefix):
+    """Write a (k, n) matrix with `{prefix}_i` columns (R convention: the
+    count matrices are transposed to (n_sites, n_samples) first)."""
+    _ensure_dir(path)
+    m = np.asarray(matrix)
+    cols = [f"{prefix}_{i + 1}" for i in range(m.shape[0])]
+    pd.DataFrame(m.T, columns=cols).to_csv(path, index=False)
+
+
+def read_theta(path):
+    """theta vector from the single-group `data`-column CSV."""
+    df = pd.read_table(path, sep=",")
+    return pd.to_numeric(df["data"]).to_numpy()
+
+
+def write_theta(path, theta):
+    _ensure_dir(path)
+    pd.DataFrame({"data": np.asarray(theta)}).to_csv(path, index=False)
+
+
+def theta_file_to_p_softmax(theta, n_regimes):
+    """Rebuild (log P, omega_logit) from the packed theta exactly as
+    get_estimated_control_group_param does (run_inference_two_groups.py:76-89):
+    exponentiate the R(R-1) off-diagonal entries row-major, renormalise each
+    row, take log (diagonal becomes log 0 = -inf)."""
+    R = n_regimes
+    theta = np.asarray(theta, np.float64)
+    p = np.zeros((R, R))
+    i = 0
+    for r in range(R):
+        for c in range(R):
+            if c != r:
+                p[r, c] = np.exp(theta[i])
+                i += 1
+        p[r] = p[r] / p[r].sum()
+    with np.errstate(divide="ignore"):
+        log_p = np.log(p)
+    omega_logit = theta[-R:]
+    return log_p, omega_logit
