@@ -147,6 +147,32 @@ def build_parser():
     sp.add_argument("--regimes_file", required=True)
     sp.add_argument("--output_file", required=True)
 
+    # ---- run (orchestrator) ------------------------------------------------
+    sp = sub.add_parser(
+        "run",
+        help="full pipeline (replaces the Nextflow workflow); resumable",
+    )
+    sp.add_argument("--two_group", action="store_true")
+    sp.add_argument("--output_dir", required=True)
+    sp.add_argument("--chroms", type=lambda s: s.split(","), default=["chr21", "chr22"])
+    sp.add_argument("--cpg_file_path", default=None)
+    sp.add_argument("--preprocessed_dir", default=None)
+    sp.add_argument("--control_data_path", action="append", default=[])
+    sp.add_argument("--control_id_names", action="append", default=[])
+    sp.add_argument("--case_data_path", action="append", default=[])
+    sp.add_argument("--case_id_names", action="append", default=[])
+    sp.add_argument("--mu", type=_csv_floats, default=[0.95, 0.05, 0.80, 0.20, 0.50, 0.50])
+    sp.add_argument("--sigma", type=_csv_floats, default=[0.05, 0.05, 0.1, 0.1, 0.1, 0.2886751])
+    sp.add_argument("--min_cpg_sites_between_change_points", type=int, default=3)
+    sp.add_argument("--batch_size", type=int, default=100000,
+                    help="segment size in CpG sites (nextflow.config:11)")
+    sp.add_argument("--buffer_size", type=int, default=5000)
+    sp.add_argument("--num_of_inference_seeds", type=int, default=2)
+    sp.add_argument("--num_resampled_particles", type=int, default=50)
+    sp.add_argument("--num_samples_backward", type=int, default=25)
+    sp.add_argument("--n_particles", type=int, default=250)
+    sp.add_argument("--no_resume", action="store_true")
+
     # ---- simulate_two_groups ----------------------------------------------
     sp = sub.add_parser("simulate_two_groups")
     sp.add_argument("--mu", type=_csv_floats, default=[0.95, 0.05, 0.80, 0.20, 0.50, 0.50])
@@ -328,6 +354,37 @@ def main(argv=None):
 
         make_bed(args.chr, args.regimes_file, args.output_file)
         print(f"Completed processing for chromosome {args.chr}")
+
+    elif verb == "run":
+        from hygeia_tpu.pipeline.orchestrator import run_two_group
+
+        if not args.two_group:
+            raise SystemExit(
+                "single-group `run` requires per-sample preprocessed dirs; "
+                "use the python API (pipeline.orchestrator.run_single_group) "
+                "or pass --two_group"
+            )
+        run_two_group(
+            output_dir=args.output_dir,
+            chroms=args.chroms,
+            cpg_file_path=args.cpg_file_path,
+            preprocessed_dir=args.preprocessed_dir,
+            control_data_paths=args.control_data_path,
+            control_id_names=args.control_id_names,
+            case_data_paths=args.case_data_path,
+            case_id_names=args.case_id_names,
+            mu=args.mu,
+            sigma=args.sigma,
+            u=args.min_cpg_sites_between_change_points,
+            segment_size=args.batch_size,
+            buffer_size=args.buffer_size,
+            inference_seeds=tuple(range(args.num_of_inference_seeds)),
+            num_resampled_particles=args.num_resampled_particles,
+            num_samples_backward=args.num_samples_backward,
+            n_particles_single_group=args.n_particles,
+            resume=not args.no_resume,
+        )
+        print(f"pipeline complete: {args.output_dir}")
 
     elif verb == "simulate_two_groups":
         from hygeia_tpu.two_group.simulate_runner import simulate_two_groups

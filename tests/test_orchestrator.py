@@ -1,0 +1,100 @@
+"""Orchestrator test: the full two-group pipeline (`hygeia run --two_group`)
+from preprocessed counts to DMPs in one process, including resume markers."""
+
+import json
+import time
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from hygeia_tpu.cli import main as cli_main
+from hygeia_tpu.ops.distributions import logit
+from hygeia_tpu.two_group.model import make_params
+from hygeia_tpu.two_group.simulate import simulate
+from hygeia_tpu.utils import io as hio
+
+R = 6
+MU = [0.95, 0.05, 0.80, 0.20, 0.50, 0.50]
+SIGMA = [0.05, 0.05, 0.1, 0.1, 0.1, 0.2886751]
+
+
+def test_run_two_group_pipeline(tmp_path):
+    # Simulated preprocessed inputs for one tiny 'chromosome'.
+    rng = np.random.default_rng(7)
+    Pd = rng.dirichlet(np.ones(R - 1), size=R)
+    Pfull = np.zeros((R, R))
+    for r in range(R):
+        Pfull[r, [c for c in range(R) if c != r]] = Pd[r]
+    with np.errstate(divide="ignore"):
+        log_p = np.log(Pfull)
+    params = make_params(
+        mu=MU, sigma=SIGMA, p_softmax_control=log_p,
+        omega_logit_control=np.asarray(logit(jnp.full((R,), 0.9))),
+        omega_case=0.8, kappa_control=np.full(R, 2.0), kappa_case=np.full(R, 2.0),
+        merge_log_prob=np.log(0.1), split_prob=0.01, minimum_duration=3,
+        d_max=512, dtype=jnp.float64,
+    )
+    T, S = 220, 2
+    n_c = rng.poisson(30, size=(T, S)).astype(float)
+    n_k = rng.poisson(30, size=(T, S)).astype(float)
+    sim = simulate(jax.random.PRNGKey(11), params, n_c, n_k)
+
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    hio.write_count_matrix(pre / "positions_c9.txt.gz", np.arange(1, T + 1) * 41)
+    hio.write_count_matrix(pre / "n_total_reads_control_c9.txt.gz", n_c)
+    hio.write_count_matrix(pre / "n_total_reads_case_c9.txt.gz", n_k)
+    hio.write_count_matrix(
+        pre / "n_methylated_reads_control_c9.txt.gz", np.asarray(sim.obs_control)
+    )
+    hio.write_count_matrix(
+        pre / "n_methylated_reads_case_c9.txt.gz", np.asarray(sim.obs_case)
+    )
+
+    out = tmp_path / "out"
+    argv = [
+        "run", "--two_group",
+        "--output_dir", str(out),
+        "--chroms", "c9",
+        "--preprocessed_dir", str(pre),
+        "--batch_size", "120",
+        "--buffer_size", "25",
+        "--num_of_inference_seeds", "2",
+        "--num_resampled_particles", "10",
+        "--num_samples_backward", "20",
+        "--n_particles", "40",
+    ]
+    t0 = time.time()
+    cli_main(argv)
+    first_run = time.time() - t0
+
+    # All six stage outputs exist.
+    assert (out / "2_ESTIMATE_PARAMETERS_AND_REGIMES" / "c9" / "theta_c9.csv.gz").exists()
+    assert (out / "3_GET_CHROM_SEGMENTS" / "c9" / "chrom_segments_c9.csv").exists()
+    assert (out / "5_AGGREGATE_RESULTS" / "c9" / "split_probs_c9.csv.gz").exists()
+    assert (out / "6_GET_DMPS" / "c9" / "dmp_0.05.csv").exists()
+
+    # The single-group stage actually learned something usable: theta parses.
+    theta = hio.read_theta(
+        out / "2_ESTIMATE_PARAMETERS_AND_REGIMES" / "c9" / "theta_c9.csv.gz"
+    )
+    assert theta.shape == (R * R,) and np.isfinite(theta).all()
+
+    # Resume: a second invocation must skip everything (fast, no recompute).
+    t0 = time.time()
+    cli_main(argv)
+    second_run = time.time() - t0
+    assert second_run < max(2.0, first_run * 0.2), (first_run, second_run)
+
+    # Aggregated recovery sanity vs simulated truth.
+    ctrl = pd.read_csv(
+        out / "5_AGGREGATE_RESULTS" / "c9" / "control_regimes_chrom_c9.csv.gz", sep="\t"
+    ).set_index("pos").to_numpy()
+    truth = np.asarray(sim.states)[:, 2]
+    mode = np.apply_along_axis(
+        lambda row: np.bincount(row.astype(int), minlength=R).argmax(), 1, ctrl
+    )
+    acc = np.mean(mode == truth)
+    assert acc > 0.5, acc
