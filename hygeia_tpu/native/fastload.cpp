@@ -1,0 +1,141 @@
+// Fast gzip CSV count-matrix loader.
+//
+// The reference pipeline moves all data between stages as gzip-compressed
+// comma-separated count matrices (positions_{chrom}.txt.gz etc.), parsed
+// with pandas.read_table — which for a 1e6-row chromosome costs seconds of
+// single-threaded Python per file and dominates task startup (the reference
+// pays this once per (chrom, batch, seed) INFER task).
+//
+// This native loader inflates with zlib and parses integers/floats with a
+// tight branch-light scanner, multi-threaded across row ranges after an
+// initial newline scan. Exposed to Python via ctypes (hygeia_tpu/native/
+// loader.py); no pybind11 dependency.
+//
+// Build: see build.sh (g++ -O3 -shared -fPIC fastload.cpp -lz -lpthread).
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Inflate a whole .gz (or plain) file into memory.
+bool read_all(const char* path, std::string* out) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return false;
+  gzbuffer(f, 1 << 20);
+  char buf[1 << 20];
+  int n;
+  while ((n = gzread(f, buf, sizeof(buf))) > 0) {
+    out->append(buf, static_cast<size_t>(n));
+  }
+  bool ok = (n == 0);
+  gzclose(f);
+  return ok;
+}
+
+// Parse one number starting at p; advances p past the token.
+inline double parse_number(const char*& p, const char* end) {
+  // Fast path: plain integers (the overwhelming majority of count data).
+  bool neg = false;
+  if (p < end && (*p == '-' || *p == '+')) {
+    neg = (*p == '-');
+    ++p;
+  }
+  int64_t ival = 0;
+  const char* digits_start = p;
+  while (p < end && *p >= '0' && *p <= '9') {
+    ival = ival * 10 + (*p - '0');
+    ++p;
+  }
+  if (p < end && (*p == '.' || *p == 'e' || *p == 'E')) {
+    // Fall back to strtod for decimals/exponents ("3.0" from np.savetxt).
+    char* q = nullptr;
+    double v = strtod(digits_start - (neg ? 1 : 0), &q);
+    p = q;
+    return v;
+  }
+  return neg ? -static_cast<double>(ival) : static_cast<double>(ival);
+}
+
+void parse_rows(const char* data, const int64_t* offsets, int64_t row_begin,
+                int64_t row_end, int64_t n_cols, double* out) {
+  for (int64_t r = row_begin; r < row_end; ++r) {
+    const char* p = data + offsets[r];
+    const char* end = data + offsets[r + 1];
+    double* row = out + r * n_cols;
+    for (int64_t c = 0; c < n_cols; ++c) {
+      while (p < end && (*p == ',' || *p == ' ' || *p == '\t')) ++p;
+      row[c] = (p < end) ? parse_number(p, end) : 0.0;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// First pass: returns rows/cols so the caller can allocate the output.
+// Returns 0 on success; fills *n_rows, *n_cols. The inflated buffer is kept
+// in a handle for the second pass.
+struct LoadHandle {
+  std::string data;
+  std::vector<int64_t> offsets;  // n_rows + 1 entries, byte offset per line
+  int64_t n_cols = 0;
+};
+
+void* fastload_open(const char* path, int64_t* n_rows, int64_t* n_cols) {
+  auto* h = new LoadHandle();
+  if (!read_all(path, &h->data)) {
+    delete h;
+    return nullptr;
+  }
+  const char* p = h->data.data();
+  const char* end = p + h->data.size();
+  h->offsets.push_back(0);
+  for (const char* q = p; q < end; ++q) {
+    if (*q == '\n') h->offsets.push_back(q - p + 1);
+  }
+  if (h->offsets.back() != static_cast<int64_t>(h->data.size())) {
+    h->offsets.push_back(h->data.size());  // file without trailing newline
+  }
+  int64_t rows = static_cast<int64_t>(h->offsets.size()) - 1;
+  // Drop trailing empty line(s).
+  while (rows > 0 && h->offsets[rows] - h->offsets[rows - 1] <= 1) --rows;
+  // Column count from the first row.
+  int64_t cols = rows > 0 ? 1 : 0;
+  for (int64_t i = h->offsets[0]; i < h->offsets[1]; ++i) {
+    if (h->data[i] == ',') ++cols;
+  }
+  h->n_cols = cols;
+  *n_rows = rows;
+  *n_cols = cols;
+  return h;
+}
+
+// Second pass: parse into caller-allocated (n_rows, n_cols) float64 buffer.
+int fastload_parse(void* handle, double* out, int64_t n_rows, int n_threads) {
+  auto* h = static_cast<LoadHandle*>(handle);
+  if (!h) return 1;
+  if (n_threads < 1) n_threads = 1;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n_rows, lo + chunk);
+    if (lo >= hi) break;
+    workers.emplace_back(parse_rows, h->data.data(), h->offsets.data(), lo, hi,
+                         h->n_cols, out);
+  }
+  for (auto& w : workers) w.join();
+  return 0;
+}
+
+void fastload_close(void* handle) { delete static_cast<LoadHandle*>(handle); }
+
+}  // extern "C"

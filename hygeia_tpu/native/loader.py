@@ -1,0 +1,85 @@
+"""ctypes binding for the native gzip CSV loader (fastload.cpp).
+
+`load_matrix(path)` returns a float64 (rows, cols) array. Falls back to
+pandas transparently when the shared library has not been built — call
+`hygeia_tpu/native/build.sh` (or `ensure_built()`) to compile it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "libfastload.so"
+_lib = None
+
+
+def ensure_built(quiet=True):
+    """Compile the shared library if missing; returns True if available."""
+    if _LIB_PATH.exists():
+        return True
+    try:
+        subprocess.run(
+            ["sh", str(_DIR / "build.sh")],
+            check=True,
+            capture_output=quiet,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def _get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and not ensure_built():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.fastload_open.restype = ctypes.c_void_p
+    lib.fastload_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fastload_parse.restype = ctypes.c_int
+    lib.fastload_parse.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int,
+    ]
+    lib.fastload_close.restype = None
+    lib.fastload_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def load_matrix(path, n_threads=None):
+    """Load a (gzip) comma-separated numeric matrix as float64.
+
+    Returns None if the native library is unavailable (caller falls back)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    rows = ctypes.c_int64(0)
+    cols = ctypes.c_int64(0)
+    handle = lib.fastload_open(str(path).encode(), ctypes.byref(rows), ctypes.byref(cols))
+    if not handle:
+        return None
+    try:
+        out = np.empty((rows.value, cols.value), np.float64)
+        nt = n_threads or min(8, os.cpu_count() or 1)
+        rc = lib.fastload_parse(
+            handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), rows.value, nt
+        )
+        if rc != 0:
+            return None
+        return out
+    finally:
+        lib.fastload_close(handle)

@@ -39,3 +39,45 @@ def emission_log_prob_table(n_methylated, n_total, alpha, beta, dtype=None):
     a = jnp.asarray(alpha, dtype)[None, None, :]  # (1, 1, R)
     b = jnp.asarray(beta, dtype)[None, None, :]
     return jnp.sum(beta_binomial_log_pmf(y, n, a, b), axis=1)  # (T, R)
+
+
+def robust_emission_log_prob_table(
+    n_methylated, n_total, alpha, beta, beta_div=0.05, dtype=None
+):
+    """Robust (beta-divergence / Tsallis-score) emission table.
+
+    Replaces the BetaBinomial log-pmf with the reference's robust score
+    (robust_beta_binomial.py:29-38, used by case_control_robust_regime_model
+    with beta = 0.05 default):
+
+        s(y) = (1/b) f(y)^b  -  1/(b+1) * sum_x f(x)^(b+1)
+
+    summed over samples. The support sum runs over x = 0 .. max(n)-1,
+    reproducing the reference's `tf.range(max(total_count))` bound exactly
+    (which excludes x = n for the highest-coverage site — a reference quirk
+    kept for parity).
+    """
+    dtype = dtype or jnp.float32
+    y = jnp.asarray(n_methylated, dtype)  # (T, S)
+    n = jnp.asarray(n_total, dtype)
+    a = jnp.asarray(alpha, dtype)
+    b = jnp.asarray(beta, dtype)
+    bd = jnp.asarray(beta_div, dtype)
+
+    lp_y = beta_binomial_log_pmf(
+        y[:, :, None], n[:, :, None], a[None, None, :], b[None, None, :]
+    )  # (T, S, R)
+
+    max_n = int(jnp.max(n))
+    x = jnp.arange(max(max_n, 1), dtype=dtype)  # 0 .. max(n)-1
+    lp_x = beta_binomial_log_pmf(
+        x[:, None, None, None],
+        n[None, :, :, None],
+        a[None, None, None, :],
+        b[None, None, None, :],
+    )  # (X, T, S, R); -inf where x > n
+    from jax.scipy.special import logsumexp as _lse
+
+    integral = jnp.exp(_lse((bd + 1.0) * lp_x, axis=0)) / (bd + 1.0)
+    score = jnp.exp(bd * lp_y) / bd - integral  # (T, S, R)
+    return jnp.sum(score, axis=1)  # (T, R)

@@ -28,12 +28,20 @@ def _ensure_dir(path):
 # ---------- two-group count files (header-less, comma-separated) ----------
 
 def read_count_matrix(path, dtype=np.float32):
-    """(T, S) matrix from a header-less comma-separated .txt.gz."""
+    """(T, S) matrix from a header-less comma-separated .txt.gz.
+
+    Uses the native zlib/multithreaded parser (hygeia_tpu/native) when its
+    shared library is available, with a pandas fallback."""
+    from hygeia_tpu.native.loader import load_matrix
+
+    m = load_matrix(path)
+    if m is not None:
+        return m.astype(dtype, copy=False)
     return pd.read_table(path, sep=",", header=None).to_numpy(dtype)
 
 
 def read_positions(path):
-    return pd.read_table(path, sep=",", header=None).to_numpy(np.int64).ravel()
+    return read_count_matrix(path, np.int64).ravel()
 
 
 def write_count_matrix(path, arr):
