@@ -293,53 +293,64 @@ def run_online_combined_inference(
         # ---- OnlineMarginalSmoothing::update ------------------------------
         psi, psi_time, psi_valid = carry["psi"], carry["psi_time"], carry["psi_valid"]
         out, out_valid, spill = carry["out"], carry["out_valid"], carry["spill"]
-        # updatePsi (:148-195): continuations gather ancestors, fresh mix via B.
-        psi_anc = psi[:, :, a]  # (S, R, N) gathered at continuation ancestors
-        psi_fresh = jnp.einsum("qn,srn->srq", B, psi)  # (S, R, R)
-        psi_new = jnp.where(
-            is_cont[None, None, :],
-            psi_anc,
-            jnp.where(is_fresh[None, None, :], psi_fresh[:, :, fresh_idx], 0.0),
-        )
-        psi_new = jnp.where(psi_valid[:, None, None], psi_new, 0.0)
+        if config.estimate_regimes:
+            # updatePsi (:148-195): continuations gather ancestors, fresh mix
+            # via the backward kernels.
+            psi_anc = psi[:, :, a]  # (S, R, N) gathered at cont. ancestors
+            psi_fresh = jnp.einsum("qn,srn->srq", B, psi)  # (S, R, R)
+            psi_new = jnp.where(
+                is_cont[None, None, :],
+                psi_anc,
+                jnp.where(is_fresh[None, None, :], psi_fresh[:, :, fresh_idx], 0.0),
+            )
+            psi_new = jnp.where(psi_valid[:, None, None], psi_new, 0.0)
 
-        # initialisePsi for time t: insert into a free ring slot; if full,
-        # force-finalise the oldest pending entry first (spill path).
-        means_pre = jnp.einsum("srn,n->sr", psi_new, w_self)  # (S, R)
-        has_free = jnp.any(~psi_valid)
-        free_slot = jnp.argmax(~psi_valid)
-        oldest = jnp.argmin(jnp.where(psi_valid, psi_time, T + 1))
-        ins = jnp.where(has_free, free_slot, oldest)
-        spill = spill + jnp.where(has_free, 0, 1)
-        out = jnp.where(
-            has_free,
-            out,
-            out.at[psi_time[ins]].set(means_pre[ins].astype(jnp.float32)),
-        )
-        out_valid = jnp.where(has_free, out_valid, out_valid.at[psi_time[ins]].set(True))
+            # initialisePsi for time t: insert into a free ring slot; if full,
+            # force-finalise the oldest pending entry first (spill path).
+            means_pre = jnp.einsum("srn,n->sr", psi_new, w_self)  # (S, R)
+            has_free = jnp.any(~psi_valid)
+            free_slot = jnp.argmax(~psi_valid)
+            oldest = jnp.argmin(jnp.where(psi_valid, psi_time, T + 1))
+            ins = jnp.where(has_free, free_slot, oldest)
+            spill = spill + jnp.where(has_free, 0, 1)
+            out = jnp.where(
+                has_free,
+                out,
+                out.at[psi_time[ins]].set(means_pre[ins].astype(jnp.float32)),
+            )
+            out_valid = jnp.where(
+                has_free, out_valid, out_valid.at[psi_time[ins]].set(True)
+            )
 
-        test_t = (r_new[None, :] == regimes[:, None]).astype(dtype) * (
-            (is_cont | is_fresh)[None, :]
-        ).astype(dtype)
-        psi_new = psi_new.at[ins].set(test_t)
-        psi_time = psi_time.at[ins].set(t)
-        psi_valid = psi_valid.at[ins].set(True)
+            test_t = (r_new[None, :] == regimes[:, None]).astype(dtype) * (
+                (is_cont | is_fresh)[None, :]
+            ).astype(dtype)
+            psi_new = psi_new.at[ins].set(test_t)
+            psi_time = psi_time.at[ins].set(t)
+            psi_valid = psi_valid.at[ins].set(True)
 
-        # storeEstimates (:197-255): finalise entries whose R variances all
-        # drop below epsilon; on the final step finalise everything.
-        means = jnp.einsum("srn,n->sr", psi_new, w_self)
-        second = jnp.einsum("srn,n->sr", (psi_new - means[:, :, None]) ** 2, w_self)
-        all_below = jnp.all(second < eps, axis=1)
-        is_final = t == T - 1
-        fin = psi_valid & (all_below | is_final)
-        write_vals = jnp.where(
-            fin[:, None], means.astype(jnp.float32), out[psi_time]
-        )
-        out = out.at[psi_time].set(write_vals)
-        out_valid = out_valid.at[psi_time].set(
-            jnp.where(fin, True, out_valid[psi_time])
-        )
-        psi_valid = psi_valid & ~fin
+            # storeEstimates (:197-255): finalise entries whose R variances
+            # all drop below epsilon; on the final step finalise everything.
+            means = jnp.einsum("srn,n->sr", psi_new, w_self)
+            second = jnp.einsum(
+                "srn,n->sr", (psi_new - means[:, :, None]) ** 2, w_self
+            )
+            all_below = jnp.all(second < eps, axis=1)
+            is_final = t == T - 1
+            fin = psi_valid & (all_below | is_final)
+            write_vals = jnp.where(
+                fin[:, None], means.astype(jnp.float32), out[psi_time]
+            )
+            out = out.at[psi_time].set(write_vals)
+            out_valid = out_valid.at[psi_time].set(
+                jnp.where(fin, True, out_valid[psi_time])
+            )
+            psi_valid = psi_valid & ~fin
+        else:
+            # Smoothing disabled (useOnlineMarginalSmoothing false,
+            # OnlineCombinedInference.h:89-96): psi machinery is dead weight;
+            # pass the (unused) buffers through untouched so XLA elides them.
+            psi_new = psi
 
         # ---- OnlineParameterEstimation::update ----------------------------
         phi = carry["phi"]
