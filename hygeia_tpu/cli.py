@@ -66,6 +66,9 @@ def build_parser():
     sp.add_argument("--num_resampled_particles", type=int, action="append", default=None)
     sp.add_argument("--num_samples_backward", type=int, default=25)
     sp.add_argument("--multinomial", action="store_true")
+    sp.add_argument("--robust", action="store_true",
+                    help="use the robust (beta-divergence) emission score")
+    sp.add_argument("--robust_beta", type=float, default=0.05)
     sp.add_argument("--chrom", default="22")
     sp.add_argument("--results_dir", default="test")
     sp.add_argument("--data_dir", default="data")
@@ -172,6 +175,8 @@ def build_parser():
     sp.add_argument("--num_samples_backward", type=int, default=25)
     sp.add_argument("--n_particles", type=int, default=250)
     sp.add_argument("--no_resume", action="store_true")
+    sp.add_argument("--stub_run", action="store_true",
+                    help="wire the DAG with empty outputs (Nextflow -stub-run analog)")
 
     # ---- simulate_two_groups ----------------------------------------------
     sp = sub.add_parser("simulate_two_groups")
@@ -258,6 +263,8 @@ def main(argv=None):
             num_resampled_particles=tuple(args.num_resampled_particles or [50]),
             num_samples_backward=args.num_samples_backward,
             multinomial=args.multinomial,
+            robust=args.robust,
+            robust_beta=args.robust_beta,
         )
 
     elif verb == "aggregate":
@@ -383,6 +390,7 @@ def main(argv=None):
             num_samples_backward=args.num_samples_backward,
             n_particles_single_group=args.n_particles,
             resume=not args.no_resume,
+            stub_run=args.stub_run,
         )
         print(f"pipeline complete: {args.output_dir}")
 

@@ -15,10 +15,46 @@ from __future__ import annotations
 
 import json
 import os
+import platform
 import time
 from pathlib import Path
 
 import numpy as np
+
+from hygeia_tpu import __version__ as _VERSION
+
+
+class StageTrace:
+    """Per-stage wall-clock trace — the analog of Nextflow's
+    timeline/report/trace artifacts (nextflow.config:36-51). Written as a
+    TSV (`trace.tsv`) plus `versions.yml` per run directory (the
+    versions-emission convention of every reference module, e.g.
+    modules/two_group/4_infer.nf:54-57)."""
+
+    def __init__(self, output_dir):
+        self.path = Path(output_dir)
+        self.rows = []
+
+    def record(self, stage, chrom, seconds, skipped=False):
+        self.rows.append((stage, str(chrom), round(seconds, 3), skipped))
+
+    def flush(self):
+        self.path.mkdir(parents=True, exist_ok=True)
+        with open(self.path / "trace.tsv", "w") as f:
+            f.write("stage\tchrom\twall_s\tskipped\n")
+            for r in self.rows:
+                f.write("\t".join(str(x) for x in r) + "\n")
+        with open(self.path / "versions.yml", "w") as f:
+            f.write(
+                f'hygeia_tpu: "{_VERSION}"\npython: "{platform.python_version()}"\n'
+            )
+        try:
+            import jax
+
+            with open(self.path / "versions.yml", "a") as f:
+                f.write(f'jax: "{jax.__version__}"\n')
+        except Exception:
+            pass
 
 
 def _marker(path: Path) -> Path:
@@ -63,15 +99,26 @@ def run_two_group(
     fdr_thresholds=(0.01, 0.05),
     resume=True,
     rng_seed=0,
+    stub_run=False,
 ):
     """Full two-group pipeline for a list of chromosomes.
 
     Either provide BED inputs (cpg_file_path + *_data_paths) or a
     `preprocessed_dir` that already holds the per-chromosome count files.
+
+    stub_run=True wires the DAG without computation (the Nextflow
+    `-stub-run` analog: every module has a stub block emitting empty
+    outputs, e.g. modules/two_group/4_infer.nf:60-71).
     """
     out = Path(output_dir)
     R = len(mu)
     n_backward_total = num_resampled_particles * (2 * R + R * R)
+    trace = StageTrace(out)
+
+    if stub_run:
+        _stub_two_group(out, chroms, inference_seeds, n_backward_total)
+        trace.flush()
+        return out
 
     for chrom in chroms:
         # ---- 1: preprocess ------------------------------------------------
@@ -96,6 +143,7 @@ def run_two_group(
         # (modules/two_group/2_estimate_parameters_and_regimes.nf:39-52 runs
         # the engine on control reads with both estimation flags).
         sg_dir = out / "2_ESTIMATE_PARAMETERS_AND_REGIMES" / str(chrom)
+        t_stage = time.time()
         if _stage(sg_dir, resume):
             _single_group_on_counts(
                 pre_dir,
@@ -113,6 +161,9 @@ def run_two_group(
                 rng_seed=rng_seed,
             )
             _finish(sg_dir)
+            trace.record("ESTIMATE_PARAMETERS_AND_REGIMES", chrom, time.time() - t_stage)
+        else:
+            trace.record("ESTIMATE_PARAMETERS_AND_REGIMES", chrom, 0.0, skipped=True)
 
         # ---- 3: segments --------------------------------------------------
         seg_dir = out / "3_GET_CHROM_SEGMENTS" / str(chrom)
@@ -136,7 +187,9 @@ def run_two_group(
             for seed in inference_seeds:
                 unit = infer_dir / f"unit_{chrom}_{batch}_{seed}"
                 if not _stage(unit, resume):
+                    trace.record(f"INFER[{batch},{seed}]", chrom, 0.0, skipped=True)
                     continue
+                t_stage = time.time()
                 infer_segment(
                     data_dir=str(pre_dir),
                     single_group_dir=str(sg_dir),
@@ -153,9 +206,11 @@ def run_two_group(
                     num_samples_backward=num_samples_backward,
                 )
                 _finish(unit)
+                trace.record(f"INFER[{batch},{seed}]", chrom, time.time() - t_stage)
 
         # ---- 5: aggregate --------------------------------------------------
         agg_dir = out / "5_AGGREGATE_RESULTS" / str(chrom)
+        t_stage = time.time()
         if _stage(agg_dir, resume):
             from hygeia_tpu.pipeline.aggregate import aggregate_chromosome
 
@@ -168,9 +223,11 @@ def run_two_group(
                 num_batches=n_batches,
             )
             _finish(agg_dir)
+            trace.record("AGGREGATE_RESULTS", chrom, time.time() - t_stage)
 
         # ---- 6: DMPs -------------------------------------------------------
         dmp_dir = out / "6_GET_DMPS" / str(chrom)
+        t_stage = time.time()
         if _stage(dmp_dir, resume):
             from hygeia_tpu.pipeline.dmps import call_dmps
 
@@ -182,8 +239,36 @@ def run_two_group(
                 fdr_thresholds=fdr_thresholds,
             )
             _finish(dmp_dir)
+            trace.record("GET_DMPS", chrom, time.time() - t_stage)
 
+    trace.flush()
     return out
+
+
+def _stub_two_group(out, chroms, inference_seeds, n_backward_total):
+    """Create the full output tree with empty files (DAG wiring test)."""
+    for chrom in chroms:
+        for stage in (
+            f"1_PREPROCESS/{chrom}",
+            f"2_ESTIMATE_PARAMETERS_AND_REGIMES/{chrom}",
+            f"3_GET_CHROM_SEGMENTS/{chrom}",
+            "4_INFER",
+            f"5_AGGREGATE_RESULTS/{chrom}",
+            f"6_GET_DMPS/{chrom}",
+        ):
+            (out / stage).mkdir(parents=True, exist_ok=True)
+        for name in (
+            f"1_PREPROCESS/{chrom}/positions_{chrom}.txt.gz",
+            f"2_ESTIMATE_PARAMETERS_AND_REGIMES/{chrom}/theta_{chrom}.csv.gz",
+            f"3_GET_CHROM_SEGMENTS/{chrom}/chrom_segments_{chrom}.csv",
+            f"5_AGGREGATE_RESULTS/{chrom}/split_probs_{chrom}.csv.gz",
+            f"6_GET_DMPS/{chrom}/dmp_0.05.csv",
+        ):
+            (out / name).touch()
+        for seed in inference_seeds:
+            d = out / "4_INFER" / f"chrom_{chrom}_0"
+            d.mkdir(parents=True, exist_ok=True)
+            (d / f"optimal_backward_particles_merged_state_{n_backward_total}_{seed}.npz").touch()
 
 
 def _single_group_on_counts(

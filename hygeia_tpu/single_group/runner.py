@@ -188,3 +188,50 @@ def simulate_data(
         n_methylated_reads_csv_file, np.asarray(sim.n_methylated).T, "sample"
     )
     return sim
+
+
+def approximate_log_normalizing_constant(
+    *,
+    n_replicates,
+    n_methylated_reads,
+    n_total_reads,
+    mu=DEFAULT_MU,
+    sigma=DEFAULT_SIGMA,
+    u=2,
+    kappa=(2.0,) * 6,
+    omega=DEFAULT_OMEGA,
+    p=None,
+    n_particles=250,
+    rng_seed=0,
+    weight_dtype=jnp.float32,
+):
+    """Independent replicate estimates of the log-normalising constant.
+
+    Replaces approximateLogNormalisingConstantCpp (singleGroup.cpp:195-279);
+    replicates are vmapped over RNG keys in one device call instead of a
+    sequential host loop.
+    """
+    mu = np.asarray(mu, np.float64)
+    R = len(mu)
+    model = make_model(mu, sigma, u, np.asarray(kappa), d_max=4096)
+    p_mat = default_p(R) if p is None else np.asarray(p, np.float64)
+    theta = parameters_to_theta(p_mat, np.asarray(omega), np.asarray(kappa))
+    E = emission_log_prob_table(
+        np.asarray(n_methylated_reads), np.asarray(n_total_reads),
+        model.alpha, model.beta,
+    )
+    cfg = EngineConfig(
+        n_particles_max=n_particles,
+        estimate_regimes=False,
+        estimate_parameters=False,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(rng_seed), n_replicates)
+    run = jax.jit(
+        jax.vmap(
+            lambda key: run_online_combined_inference(
+                key, model, jnp.asarray(theta, weight_dtype), E, cfg,
+                weight_dtype=weight_dtype,
+            ).log_normalizing_constant
+        )
+    )
+    return np.asarray(run(keys))

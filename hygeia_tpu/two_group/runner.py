@@ -61,9 +61,15 @@ def infer_segment(
     num_resampled_particles=(50,),
     num_samples_backward=25,
     multinomial=False,
+    robust=False,
+    robust_beta=0.05,
     weight_dtype=jnp.float32,
 ):
-    """Run inference for one (chrom, batch, seed) work unit."""
+    """Run inference for one (chrom, batch, seed) work unit.
+
+    robust=True swaps the BetaBinomial emissions for the beta-divergence
+    score (the case_control_robust_regime_model variant, default beta 0.05
+    per case_control_robust_regime_model.py:62)."""
     mu = np.asarray(mu, np.float64)
     R = len(mu)
 
@@ -132,8 +138,22 @@ def infer_segment(
         minimum_duration=minimum_duration,
         d_max=max(64, T + 1),
     )
-    E_c = emission_log_prob_table(n_meth_control, n_total_control, params.alpha, params.beta)
-    E_k = emission_log_prob_table(n_meth_case, n_total_case, params.alpha, params.beta)
+    if robust:
+        from hygeia_tpu.ops.emissions import robust_emission_log_prob_table
+
+        E_c = robust_emission_log_prob_table(
+            n_meth_control, n_total_control, params.alpha, params.beta, robust_beta
+        )
+        E_k = robust_emission_log_prob_table(
+            n_meth_case, n_total_case, params.alpha, params.beta, robust_beta
+        )
+    else:
+        E_c = emission_log_prob_table(
+            n_meth_control, n_total_control, params.alpha, params.beta
+        )
+        E_k = emission_log_prob_table(
+            n_meth_case, n_total_case, params.alpha, params.beta
+        )
 
     log_norm_constants = {}
     times = {}
