@@ -286,6 +286,9 @@ def _single_group_on_counts(
     learning_rate_exponent,
     learning_rate_factor,
     rng_seed,
+    estimate_regimes=True,
+    estimate_parameters=True,
+    theta_fixed=None,
 ):
     """Run the single-group engine directly on preprocessed count matrices
     and write the reference-named outputs (theta_{chrom}.csv.gz etc.)."""
@@ -310,15 +313,23 @@ def _single_group_on_counts(
     )
     positions = hio.read_positions(pre_dir / f"positions_{chrom}.txt.gz")
     model = make_model(np.asarray(mu), np.asarray(sigma), u, kappa, d_max=4096)
-    theta_init = np.asarray(
-        jax.random.normal(jax.random.PRNGKey(rng_seed), (model.dim_theta,))
-    )
+    if theta_fixed is not None:
+        theta_init = np.asarray(theta_fixed)
+    elif estimate_parameters:
+        theta_init = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(rng_seed), (model.dim_theta,))
+        )
+    else:
+        from hygeia_tpu.single_group.runner import default_p, DEFAULT_OMEGA
+        from hygeia_tpu.single_group.model import parameters_to_theta
+
+        theta_init = parameters_to_theta(default_p(R), np.asarray(DEFAULT_OMEGA[:R]), kappa)
     E = emission_log_prob_table(n_meth, n_total, model.alpha, model.beta)
     cfg = EngineConfig(
         n_particles_max=n_particles,
         epsilon=epsilon,
-        estimate_regimes=True,
-        estimate_parameters=True,
+        estimate_regimes=estimate_regimes,
+        estimate_parameters=estimate_parameters,
         steps_per_update=steps_per_update,
         learning_rate_exponent=learning_rate_exponent,
         learning_rate_factor=learning_rate_factor,
@@ -329,10 +340,11 @@ def _single_group_on_counts(
         )
     )(jax.random.PRNGKey(rng_seed))
 
-    probs = np.asarray(res.regime_probs)
-    df = pd.DataFrame(probs, columns=[f"regime_{i + 1}" for i in range(R)])
-    df.insert(0, "genomic_position", positions[: len(df)])
-    df.to_csv(sg_dir / f"regime_probabilities_{chrom}.csv.gz", index=False)
+    if estimate_regimes:
+        probs = np.asarray(res.regime_probs)
+        df = pd.DataFrame(probs, columns=[f"regime_{i + 1}" for i in range(R)])
+        df.insert(0, "genomic_position", positions[: len(df)])
+        df.to_csv(sg_dir / f"regime_probabilities_{chrom}.csv.gz", index=False)
 
     trace = np.asarray(res.theta_trace)
     pd.DataFrame(
@@ -363,12 +375,22 @@ def run_single_group(
     resume=True,
     rng_seed=0,
 ):
-    """Single-group path (main.nf:20-30): estimate parameters, re-estimate
-    regimes with them, and export BED files, per (sample, chromosome)."""
+    """Single-group path (main.nf:20-30), mirroring the reference's two-pass
+    structure: ESTIMATE_PARAMETERS (modules/single_group/2) learns theta from
+    a prior init, then ESTIMATE_REGIMES (modules/single_group/3) re-runs the
+    engine with the estimated p/omega/kappa to produce regime probabilities,
+    then BED export (modules/single_group/4)."""
+    import pandas as pd
+
+    from hygeia_tpu.single_group.model import theta_to_parameters
+    from hygeia_tpu.utils import io as hio
+
     out = Path(output_dir)
+    R = len(mu)
     for sample_id, pre_dir in samples:
         for chrom in chroms:
-            est_dir = out / "2_ESTIMATE" / sample_id / str(chrom)
+            # Pass 1: parameter estimation.
+            est_dir = out / "2_ESTIMATE_PARAMETERS" / sample_id / str(chrom)
             if _stage(est_dir, resume):
                 _single_group_on_counts(
                     pre_dir,
@@ -384,15 +406,40 @@ def run_single_group(
                     learning_rate_exponent=learning_rate_exponent,
                     learning_rate_factor=learning_rate_factor,
                     rng_seed=rng_seed,
+                    estimate_regimes=False,
+                    estimate_parameters=True,
                 )
                 _finish(est_dir)
+            # Pass 2: regime estimation with the learned parameters.
+            reg_dir = out / "3_ESTIMATE_REGIMES" / sample_id / str(chrom)
+            if _stage(reg_dir, resume):
+                theta = hio.read_theta(est_dir / f"theta_{chrom}.csv.gz")
+                _single_group_on_counts(
+                    pre_dir,
+                    reg_dir,
+                    chrom,
+                    group=sample_id,
+                    mu=mu,
+                    sigma=sigma,
+                    u=u,
+                    n_particles=n_particles,
+                    epsilon=epsilon,
+                    steps_per_update=n_steps_without_parameter_update,
+                    learning_rate_exponent=learning_rate_exponent,
+                    learning_rate_factor=learning_rate_factor,
+                    rng_seed=rng_seed,
+                    estimate_regimes=True,
+                    estimate_parameters=False,
+                    theta_fixed=theta,
+                )
+                _finish(reg_dir)
             bed_dir = out / "4_BED" / sample_id
             if _stage(bed_dir, resume):
                 from hygeia_tpu.pipeline.bed import make_bed
 
                 make_bed(
                     chrom,
-                    est_dir / f"regime_probabilities_{chrom}.csv.gz",
+                    reg_dir / f"regime_probabilities_{chrom}.csv.gz",
                     bed_dir / f"{sample_id}_{chrom}.bed",
                 )
                 _finish(bed_dir)

@@ -98,3 +98,68 @@ def test_run_two_group_pipeline(tmp_path):
     )
     acc = np.mean(mode == truth)
     assert acc > 0.5, acc
+
+
+def test_run_single_group_pipeline(tmp_path):
+    """Two-pass single-group path: estimate parameters, then regimes, then BED."""
+    from hygeia_tpu.pipeline.orchestrator import run_single_group
+    from hygeia_tpu.single_group.model import make_model, parameters_to_theta
+    from hygeia_tpu.single_group.simulate import simulate as sg_simulate
+
+    R = 6
+    mu = np.array([0.99, 0.01, 0.80, 0.20, 0.50, 0.50])
+    sigma = np.array([0.05, 0.05, 0.20, 0.20, 0.20, 0.2886751])
+    kappa = np.full(R, 2.0)
+    model = make_model(mu, sigma, 2, kappa, d_max=512)
+    P = np.full((R, R), 0.2)
+    np.fill_diagonal(P, 0.0)
+    theta = parameters_to_theta(P, np.full(R, 0.95), kappa)
+    T = 600
+    n_tot = np.full((T, 2), 30.0)
+    sim = sg_simulate(jax.random.PRNGKey(0), model, theta, n_tot)
+
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    hio.write_count_matrix(pre / "positions_c1.txt.gz", np.arange(1, T + 1) * 17)
+    hio.write_count_matrix(pre / "n_total_reads_s1_c1.txt.gz", n_tot)
+    hio.write_count_matrix(
+        pre / "n_methylated_reads_s1_c1.txt.gz", np.asarray(sim.n_methylated)
+    )
+
+    out = tmp_path / "out"
+    run_single_group(
+        output_dir=out,
+        chroms=["c1"],
+        samples=[("s1", pre)],
+        mu=mu,
+        sigma=sigma,
+        u=2,
+        n_particles=60,
+        n_steps_without_parameter_update=50,
+        learning_rate_factor=0.2,
+    )
+    assert (out / "2_ESTIMATE_PARAMETERS" / "s1" / "c1" / "theta_c1.csv.gz").exists()
+    reg = pd.read_csv(out / "3_ESTIMATE_REGIMES" / "s1" / "c1" / "regime_probabilities_c1.csv.gz")
+    assert reg.shape == (T, R + 1)
+    bed = pd.read_csv(out / "4_BED" / "s1" / "s1_c1.bed", sep="\t", header=None)
+    assert bed.shape[0] == T and bed.shape[1] == 9
+    # Regime recovery from the two-pass flow.
+    est = reg[[f"regime_{i+1}" for i in range(R)]].to_numpy().argmax(1)
+    acc = np.mean(est == np.asarray(sim.r))
+    assert acc > 0.6, acc
+
+
+def test_stub_run(tmp_path):
+    out = tmp_path / "stub"
+    cli_main(
+        [
+            "run", "--two_group", "--stub_run",
+            "--output_dir", str(out),
+            "--chroms", "chrA,chrB",
+        ]
+    )
+    for chrom in ("chrA", "chrB"):
+        assert (out / "6_GET_DMPS" / chrom / "dmp_0.05.csv").exists()
+        assert (out / "3_GET_CHROM_SEGMENTS" / chrom / f"chrom_segments_{chrom}.csv").exists()
+    assert (out / "trace.tsv").exists()
+    assert (out / "versions.yml").exists()
