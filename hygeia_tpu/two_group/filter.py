@@ -42,6 +42,9 @@ class FilterResult(NamedTuple):
     log_weights: jnp.ndarray  # (T, N) per-step-normalised log weights
     particles: jnp.ndarray  # (T, N, 5) int32 stacked states
     log_normalizing_constant: jnp.ndarray  # scalar: sum of per-step shifts
+    degenerate_steps: jnp.ndarray  # scalar int: steps where every particle
+    # weight was non-finite and the filter reset to uniform (diagnostic; 0 in
+    # healthy runs — nonzero signals numerical trouble, e.g. f32 tail hazards)
 
 
 def run_filter(
@@ -102,14 +105,24 @@ def run_filter(
             optimal_resampling,
             multinomial_resampling,
         )
+        # Sanitise: any NaN weight becomes -inf (dead), and if the whole set
+        # died (shift non-finite) reset to uniform so the filter can recover
+        # instead of propagating NaN; counted in `degenerate_steps`.
+        new_lw = jnp.where(jnp.isnan(new_lw), _NEG_INF, new_lw)
         shift = logsumexp(new_lw)
-        new_lw = new_lw - shift
+        degenerate = ~jnp.isfinite(shift)
+        new_lw = jnp.where(
+            degenerate,
+            jnp.full_like(new_lw, -jnp.log(float(new_lw.shape[0]))),
+            new_lw - jnp.where(degenerate, 0.0, shift),
+        )
+        shift = jnp.where(degenerate, 0.0, shift)
         new_stacked = new_particles.stack()
-        return (new_lw, new_stacked), (new_lw, new_stacked, shift)
+        return (new_lw, new_stacked), (new_lw, new_stacked, shift, degenerate)
 
     ts = jnp.arange(1, T)
     keys = jax.random.split(key, T - 1)
-    (final_lw, _), (lws, parts, shifts) = jax.lax.scan(
+    (final_lw, _), (lws, parts, shifts, degen) = jax.lax.scan(
         step, (init_lw, init_states.stack()), (ts, keys)
     )
     all_lw = jnp.concatenate([init_lw[None], lws], axis=0)
@@ -118,6 +131,7 @@ def run_filter(
         log_weights=all_lw,
         particles=all_parts,
         log_normalizing_constant=init_shift + jnp.sum(shifts),
+        degenerate_steps=jnp.sum(degen),
     )
 
 
@@ -209,10 +223,14 @@ def _one_step(
     prev_norm_anc = log_norm[parents][None, :]
     w_no_resample = prev_unnorm_anc + log_gamma
     w_unbiased = (-jnp.log(float(M)) + log_z_prev) + log_gamma
-    w_optimal = (
+    # Dead ancestors (weight -inf) must yield -inf children, not NaN from
+    # (-inf) - min(0, log_c + (-inf)); guard explicitly.
+    w_optimal = jnp.where(
+        jnp.isfinite(prev_unnorm_anc),
         prev_unnorm_anc
         + log_gamma
-        - jnp.minimum(jnp.zeros((), dtype), log_c + prev_norm_anc)
+        - jnp.minimum(jnp.zeros((), dtype), log_c + prev_norm_anc),
+        _NEG_INF,
     )
     lw = jnp.where(
         ~need_resample,
