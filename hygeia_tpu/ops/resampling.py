@@ -102,28 +102,34 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
 
     The reference's c-threshold fixed-point while-loop
     (resampling_functions.py:12-23) is replaced by a closed-form scan over
-    all candidate K values: K is the smallest k with c_k * q_k <= 1 where
+    candidate K values: K is the smallest k with c_k * q_k <= 1 where
     c_k = (M - k) / Q_k, q the sorted (desc) normalised weights and Q_k the
-    suffix sum. Equivalence with the iterative version is covered by
-    tests/test_resampling.py.
+    suffix sum. Since K <= M by construction, only the top M+1 weights are
+    needed — `lax.top_k` instead of a full N-element sort (the full sort was
+    the dominant per-step cost of the filter on TPU), and the residual
+    systematic pass runs over the *unsorted* weights with the kept set
+    masked out (ordering does not affect its unbiasedness). Equivalence with
+    the iterative reference version is covered by tests/test_resampling.py.
     """
     n = log_weights.shape[0]
     m = num_offspring
     dtype = log_weights.dtype
 
     log_norm, log_z = _normalise(log_weights)
-    order = jnp.argsort(-log_norm, stable=True)
-    sorted_lw = log_norm[order]
-    q = jnp.exp(sorted_lw)
-    # Suffix sums Q_k = sum_{i >= k} q_i (reverse cumsum).
-    suffix = jnp.cumsum(q[::-1])[::-1]
+    kk = min(m + 1, n)
+    top_lw, top_idx = jax.lax.top_k(log_norm, kk)  # sorted desc
+    top_q = jnp.exp(top_lw)
+    # Q_k = 1 - prefix_k over the normalised weights (suffix sums only enter
+    # for k <= M, which the top-(M+1) prefix determines).
+    prefix = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(top_q)[:-1]])
+    suffix = jnp.maximum(1.0 - prefix, 0.0)
 
-    k_range = jnp.arange(n, dtype=dtype)
+    k_range = jnp.arange(kk, dtype=dtype)
     log_c_k = jnp.log(jnp.maximum(m - k_range, 0.0)) - jnp.log(suffix)
     # Candidate k is consistent iff c_k*q_k <= 1 and (k == 0 or c_k*q_{k-1} > 1)
     # and k <= m. (Strictness matches the reference's `> 0` count.)
-    below = log_c_k + sorted_lw <= 0.0
-    prev_lw = jnp.concatenate([jnp.array([jnp.inf], dtype), sorted_lw[:-1]])
+    below = log_c_k + top_lw <= 0.0
+    prev_lw = jnp.concatenate([jnp.array([jnp.inf], dtype), top_lw[:-1]])
     above_prev = log_c_k + prev_lw > 0.0
     ok = below & above_prev & (k_range <= m)
     any_ok = jnp.any(ok)
@@ -131,15 +137,16 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     # No consistent k (e.g. fewer than M finite weights): mirror the
     # reference's K >= N clamp with log_c = -inf (resampling_functions.py:29-31).
     k_star = jnp.where(any_ok, k_star, n)
-    log_c = jnp.where(any_ok, log_c_k[jnp.clip(k_star, 0, n - 1)], _NEG_INF)
+    log_c = jnp.where(any_ok, log_c_k[jnp.clip(k_star, 0, kk - 1)], _NEG_INF)
 
-    # Deterministically-kept parents: first K sorted indices.
+    # Deterministically-kept parents: the top-K indices (already sorted desc).
     slots = jnp.arange(m)
-    kept_parents = order[jnp.clip(slots, 0, n - 1)]
+    kept_parents = top_idx[jnp.clip(slots, 0, kk - 1)]
 
-    # Residual systematic resampling over sorted weights K..N-1.
-    resid_mask = k_range >= k_star
-    resid_lw = jnp.where(resid_mask, sorted_lw, _NEG_INF)
+    # Residual systematic resampling over the unsorted weights with the kept
+    # set masked out.
+    kept_mask = jnp.zeros((n,), bool).at[top_idx].set(slots_mask(kk, k_star))
+    resid_lw = jnp.where(kept_mask, _NEG_INF, log_norm)
     resid_norm, _ = _normalise(resid_lw)
     key_sys, key_mult = jax.random.split(key)
     # Draw M offspring positions; only positions >= K are used.
@@ -149,10 +156,10 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     # Grid scaled by the realised residual mass (see systematic_resampling):
     # prevents selecting past the last live particle under f32 rounding.
     t = (jnp.arange(m, dtype=jnp.float32) + u) / l.astype(jnp.float32) * q_resid[-1]
-    resampled_pos = jnp.clip(jnp.searchsorted(q_resid, t, side="left"), 0, n - 1)
-    # Offspring j: kept parent if j < K, else the (j - K)-th systematic draw.
     sys_idx = jnp.clip(slots - k_star, 0, m - 1)
-    resampled_parents = order[resampled_pos[sys_idx]]
+    resampled_parents = jnp.clip(
+        jnp.searchsorted(q_resid, t[sys_idx], side="left"), 0, n - 1
+    )
     parents = jnp.where(slots < k_star, kept_parents, resampled_parents)
 
     # Post-resampling weights (C++ semantics, resample.h:350-364).
@@ -174,17 +181,23 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     )
 
 
+def slots_mask(kk, k_star):
+    """Boolean vector marking the first k_star of kk top slots as kept."""
+    return jnp.arange(kk) < k_star
+
+
 def keep_top_m(log_weights, num_offspring):
     """Keep the M particles with the largest weights (no resampling).
 
     Mirrors Smc.h:432-441 / resample.h:366-375: ancestors are the top-M
     indices sorted descending; their weights pass through unchanged.
+    (lax.top_k rather than a full sort: ties break by index like a stable
+    descending argsort.)
     """
-    order = jnp.argsort(-log_weights, stable=True)
-    parents = order[:num_offspring].astype(jnp.int32)
+    vals, parents = jax.lax.top_k(log_weights, num_offspring)
     return ResampleResult(
-        parent_indices=parents,
+        parent_indices=parents.astype(jnp.int32),
         log_c=jnp.asarray(0.0, log_weights.dtype),
         use_unbiased=jnp.asarray(False),
-        new_log_weights=log_weights[parents],
+        new_log_weights=vals,
     )
