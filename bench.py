@@ -26,7 +26,7 @@ import numpy as np
 
 # Keep all benchmark compute inside one jit: per-dispatch tunnel latency in
 # this environment is ~30ms and must not be measured.
-T = int(os.environ.get("HYGEIA_BENCH_T", 8192))
+T = int(os.environ.get("HYGEIA_BENCH_T", 4096))
 UNITS = int(os.environ.get("HYGEIA_BENCH_UNITS", 8))
 M = int(os.environ.get("HYGEIA_BENCH_M", 50))
 B = int(os.environ.get("HYGEIA_BENCH_B", 25))

@@ -209,8 +209,15 @@ def _one_step(
     children = expand_states(anc, params.n_regimes)  # (I, M)
     prev_b = State(*(f[None, :] for f in anc))
     trans_lp = transition_log_prob(params, prev_b, children)  # (I, M)
-    obs_lp = (
-        emission_control[t, children.r_c] + emission_case[t, children.r_k]
+    # Emission lookup as a one-hot select over the R-row of the table at
+    # site t (avoids an (I, M)-shaped gather, slow on TPU).
+    regs = jnp.arange(params.n_regimes)
+    row_c = emission_control[t]  # (R,)
+    row_k = emission_case[t]
+    obs_lp = jnp.sum(
+        jnp.where(children.r_c[..., None] == regs, row_c, 0.0), axis=-1
+    ) + jnp.sum(
+        jnp.where(children.r_k[..., None] == regs, row_k, 0.0), axis=-1
     )  # (I, M)
     log_gamma = jnp.where(
         jnp.isfinite(trans_lp),

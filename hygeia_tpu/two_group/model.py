@@ -159,12 +159,25 @@ def transition_log_prob(params: TwoGroupParams, prev: State, nxt: State, *, step
 
     step0=True applies the phantom-state overrides: merged probs [[0,1],[0,1]]
     and rho == 1 (case_control_regime_model.py:84,136,166).
+
+    TPU note: every table lookup here gathers only at PREV-state indices
+    (the callers broadcast prev along one axis, so these gathers stay small)
+    and resolves the NEXT-state dimension with one-hot reductions — large
+    (next x prev)-shaped gathers were the dominant cost of the backward
+    pass on TPU.
     """
     R = params.n_regimes
+    dtypef = params.rho_case.dtype
+
+    # One-hot mask of the next control regime (rows may hold -inf, so the
+    # reduction below selects rather than multiplies).
+    regs = jnp.arange(R)
+    oh_r_c = nxt.r_c[..., None] == regs  # (..., R) bool
 
     # --- merged indicator --------------------------------------------------
     gate = jnp.minimum(prev.d_k, prev.d_c) >= params.min_duration
-    lp_chain = params.log_p_merged[prev.m, nxt.m]
+    merged_rows = params.log_p_merged[prev.m]  # (prev..., 2) — tiny gather
+    lp_chain = jnp.where(nxt.m == 0, merged_rows[..., 0], merged_rows[..., 1])
     lp_identity = _log_indicator(nxt.m == prev.m)
     if step0:
         lp_m = _log_indicator(nxt.m == 1)
@@ -176,7 +189,10 @@ def transition_log_prob(params: TwoGroupParams, prev: State, nxt: State, *, step
         rho_c = jnp.ones_like(prev.d_c, params.rho_control.dtype)
     else:
         rho_c = gather_rho(params.rho_control, prev.d_c, prev.r_c)
-    lp_ctrl_cp = jnp.log(rho_c) + params.log_p_control[prev.r_c, nxt.r_c]
+    ctrl_rows = params.log_p_control[prev.r_c]  # (prev..., R)
+    # Row entries can be -inf (diagonal): use select-reduce, not multiply.
+    lp_p_ctrl = jnp.max(jnp.where(oh_r_c > 0, ctrl_rows, _NEG_INF), axis=-1)
+    lp_ctrl_cp = jnp.log(rho_c) + lp_p_ctrl
     lp_ctrl_cont = (
         jnp.log1p(-rho_c)
         + _log_indicator(prev.d_c == nxt.d_c - 1)
