@@ -26,7 +26,7 @@ def backward_simulation(
     key,
     params: TwoGroupParams,
     log_weights,  # (T, N) unnormalised filter weights
-    particles,  # (T, N, 5) stacked states
+    particles,  # (T, 5, N) stacked states (State.stack layout)
     num_simulations: int,
 ):
     """Returns (T, B, 5) int32 sampled smoothing trajectories."""
@@ -36,11 +36,11 @@ def backward_simulation(
     key, k_last = jax.random.split(key)
     last_lw = log_weights[T - 1]
     idx = jax.random.categorical(k_last, last_lw, shape=(B,))
-    last_particle = particles[T - 1, idx]  # (B, 5)
+    last_particle = particles[T - 1][:, idx]  # (5, B)
 
     def step(carry, inputs):
-        nxt_particle = carry  # (B, 5) particle at time t+1
-        lw_t, parts_t, k = inputs  # (N,), (N, 5), key
+        nxt_particle = carry  # (5, B) particle at time t+1
+        lw_t, parts_t, k = inputs  # (N,), (5, N), key
         cur = State.unstack(parts_t)  # (N,)
         cur_b = State(*(f[None, :] for f in cur))  # (1, N)
         nxt = State.unstack(nxt_particle)
@@ -52,7 +52,7 @@ def backward_simulation(
             _NEG_INF,
         )
         sel = jax.random.categorical(k, logits, axis=-1)  # (B,)
-        picked = parts_t[sel]  # (B, 5)
+        picked = parts_t[:, sel]  # (5, B)
         return picked, picked
 
     # Reverse over t = T-2 .. 0; the transition evaluated at time t uses the
@@ -64,7 +64,8 @@ def backward_simulation(
         (log_weights[: T - 1], particles[: T - 1], keys),
         reverse=True,
     )
-    return jnp.concatenate([trajectory, last_particle[None]], axis=0)  # (T, B, 5)
+    full = jnp.concatenate([trajectory, last_particle[None]], axis=0)  # (T, 5, B)
+    return jnp.swapaxes(full, 1, 2)  # (T, B, 5) — reference output layout
 
 
 def smoothing_functionals(trajectory, n_regimes):

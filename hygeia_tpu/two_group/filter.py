@@ -40,7 +40,7 @@ _NEG_INF = -jnp.inf
 
 class FilterResult(NamedTuple):
     log_weights: jnp.ndarray  # (T, N) per-step-normalised log weights
-    particles: jnp.ndarray  # (T, N, 5) int32 stacked states
+    particles: jnp.ndarray  # (T, 5, N) int32 stacked states (see State.stack)
     log_normalizing_constant: jnp.ndarray  # scalar: sum of per-step shifts
     degenerate_steps: jnp.ndarray  # scalar int: steps where every particle
     # weight was non-finite and the filter reset to uniform (diagnostic; 0 in

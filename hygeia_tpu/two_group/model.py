@@ -40,17 +40,23 @@ class State(NamedTuple):
     r_k: jnp.ndarray
 
     def stack(self):
-        """Pack into (..., 5) int32 — storage layout for the filter history.
-        Column order [m, d_c, r_c, d_k, r_k]; note the reference's npz files
-        store control/case states as (duration, regime) pairs
-        (aggregate_results.py:139-142 reads [:, :, 1] as regime)."""
+        """Pack into (5, ...) int32 — storage layout for the filter history.
+
+        The field axis LEADS: TPU arrays tile their last two dims to (8, 128)
+        lanes, so a trailing length-5 axis would pad 25x in HBM (a (T, N, 5)
+        history for one 100k-site segment would claim ~40 GB). With (5, N)
+        blocks the last dim is the particle axis and packs densely.
+
+        Field order [m, d_c, r_c, d_k, r_k]; external outputs (npz files)
+        transpose back to the reference's (duration, regime) pair layout
+        (aggregate_results.py:139-142)."""
         return jnp.stack(
-            [self.m, self.d_c, self.r_c, self.d_k, self.r_k], axis=-1
+            [self.m, self.d_c, self.r_c, self.d_k, self.r_k], axis=0
         ).astype(jnp.int32)
 
     @staticmethod
     def unstack(arr):
-        return State(arr[..., 0], arr[..., 1], arr[..., 2], arr[..., 3], arr[..., 4])
+        return State(arr[0], arr[1], arr[2], arr[3], arr[4])
 
 
 class TwoGroupParams(NamedTuple):
