@@ -26,7 +26,7 @@ def backward_simulation(
     key,
     params: TwoGroupParams,
     log_weights,  # (T, N) unnormalised filter weights
-    particles,  # (T, 5, N) stacked states (State.stack layout)
+    particles: State,  # pytree of five (T, N) arrays (FilterResult.particles)
     num_simulations: int,
 ):
     """Returns (T, B, 5) int32 sampled smoothing trajectories."""
@@ -36,14 +36,12 @@ def backward_simulation(
     key, k_last = jax.random.split(key)
     last_lw = log_weights[T - 1]
     idx = jax.random.categorical(k_last, last_lw, shape=(B,))
-    last_particle = particles[T - 1][:, idx]  # (5, B)
+    last_particle = State(*(f[T - 1][idx] for f in particles))  # fields (B,)
 
     def step(carry, inputs):
-        nxt_particle = carry  # (5, B) particle at time t+1
-        lw_t, parts_t, k = inputs  # (N,), (5, N), key
-        cur = State.unstack(parts_t)  # (N,)
+        nxt = carry  # State of (B,) — particle at time t+1
+        lw_t, cur, k = inputs  # (N,), State of (N,), key
         cur_b = State(*(f[None, :] for f in cur))  # (1, N)
-        nxt = State.unstack(nxt_particle)
         nxt_b = State(*(f[:, None] for f in nxt))  # (B, 1)
         trans = transition_log_prob(params, cur_b, nxt_b)  # (B, N)
         logits = jnp.where(
@@ -52,20 +50,26 @@ def backward_simulation(
             _NEG_INF,
         )
         sel = jax.random.categorical(k, logits, axis=-1)  # (B,)
-        picked = parts_t[:, sel]  # (5, B)
+        picked = State(*(f[sel] for f in cur))
         return picked, picked
 
     # Reverse over t = T-2 .. 0; the transition evaluated at time t uses the
     # particle sampled for t+1 (step index never hits the t=0 special case).
     keys = jax.random.split(key, T - 1)
+    parts_head = State(*(f[: T - 1] for f in particles))
     _, trajectory = jax.lax.scan(
         step,
         last_particle,
-        (log_weights[: T - 1], particles[: T - 1], keys),
+        (log_weights[: T - 1], parts_head, keys),
         reverse=True,
     )
-    full = jnp.concatenate([trajectory, last_particle[None]], axis=0)  # (T, 5, B)
-    return jnp.swapaxes(full, 1, 2)  # (T, B, 5) — reference output layout
+    # Append the terminal sample and pack into the reference's (T, B, 5)
+    # layout (materialised once at the end; the padded tail axis is small).
+    fields = [
+        jnp.concatenate([ft, fl[None]], axis=0)
+        for ft, fl in zip(trajectory, last_particle)
+    ]
+    return jnp.stack(fields, axis=-1)  # (T, B, 5)
 
 
 def smoothing_functionals(trajectory, n_regimes):

@@ -40,7 +40,9 @@ _NEG_INF = -jnp.inf
 
 class FilterResult(NamedTuple):
     log_weights: jnp.ndarray  # (T, N) per-step-normalised log weights
-    particles: jnp.ndarray  # (T, 5, N) int32 stacked states (see State.stack)
+    particles: State  # pytree of five (T, N) int32 arrays. Kept as separate
+    # per-field arrays: any stacked layout puts a length-5 axis into the TPU
+    # (8, 128) tile and pads it 25x in HBM (40 GB for an 8-unit bench).
     log_normalizing_constant: jnp.ndarray  # scalar: sum of per-step shifts
     degenerate_steps: jnp.ndarray  # scalar int: steps where every particle
     # weight was non-finite and the filter reset to uniform (diagnostic; 0 in
@@ -100,7 +102,7 @@ def run_filter(
             emission_case,
             t,
             prev_lw,
-            State.unstack(prev_particles),
+            prev_particles,
             M,
             optimal_resampling,
             multinomial_resampling,
@@ -117,16 +119,20 @@ def run_filter(
             new_lw - jnp.where(degenerate, 0.0, shift),
         )
         shift = jnp.where(degenerate, 0.0, shift)
-        new_stacked = new_particles.stack()
-        return (new_lw, new_stacked), (new_lw, new_stacked, shift, degenerate)
+        return (new_lw, new_particles), (new_lw, new_particles, shift, degenerate)
 
     ts = jnp.arange(1, T)
     keys = jax.random.split(key, T - 1)
     (final_lw, _), (lws, parts, shifts, degen) = jax.lax.scan(
-        step, (init_lw, init_states.stack()), (ts, keys)
+        step, (init_lw, init_states), (ts, keys)
     )
     all_lw = jnp.concatenate([init_lw[None], lws], axis=0)
-    all_parts = jnp.concatenate([init_states.stack()[None], parts], axis=0)
+    all_parts = State(
+        *(
+            jnp.concatenate([f0[None], ft], axis=0)
+            for f0, ft in zip(init_states, parts)
+        )
+    )
     return FilterResult(
         log_weights=all_lw,
         particles=all_parts,

@@ -85,9 +85,8 @@ def run_marginal_filter(
     out_valid0 = jnp.zeros((T + 1,), bool)
 
     def step(carry, inputs):
-        lw, parts, psi, psi_time, psi_valid, out, out_valid, spill = carry
+        lw, prev_state, psi, psi_time, psi_valid, out, out_valid, spill = carry
         t, k = inputs
-        prev_state = State.unstack(parts)
         new_lw, new_state = _one_step(
             k, params, emission_control, emission_case, t, lw,
             prev_state, M, True, False,
@@ -144,14 +143,14 @@ def run_marginal_filter(
         psi_valid = psi_valid & ~fin
 
         carry = (
-            new_lw, new_state.stack(), psi_new, psi_time, psi_valid,
+            new_lw, new_state, psi_new, psi_time, psi_valid,
             out, out_valid, spill,
         )
         return carry, shift
 
     keys = jax.random.split(key, T - 1)
     carry0 = (
-        lw0, st0.stack(), psi0, psi_time0, psi_valid0, out0, out_valid0,
+        lw0, st0, psi0, psi_time0, psi_valid0, out0, out_valid0,
         jnp.zeros((), jnp.int32),
     )
     carry_f, shifts = jax.lax.scan(step, carry0, (jnp.arange(1, T), keys))

@@ -126,13 +126,15 @@ def test_filter_weights_shapes_and_padding():
     )
     I = 2 * R + R * R
     assert res.log_weights.shape == (T, M * I)
-    assert res.particles.shape == (T, 5, M * I)
+    for f in res.particles:
+        assert f.shape == (T, M * I)
     lw0 = np.asarray(res.log_weights[0])
     # First step: R*R proposals, rest -inf padding; support = R-1 particles.
     assert np.all(np.isneginf(lw0[R * R:]))
     assert np.isfinite(lw0[: R * R]).sum() == R - 1
     # Padded particles are -1 (expand_collapsed_results semantics).
-    assert np.all(np.asarray(res.particles[0][:, R * R:]) == -1)
+    for f in res.particles:
+        assert np.all(np.asarray(f[0][R * R:]) == -1)
     assert np.isfinite(float(res.log_normalizing_constant))
 
 
