@@ -184,29 +184,29 @@ def run_two_group(
         from hygeia_tpu.two_group.runner import infer_segment
 
         for batch in range(n_batches):
-            for seed in inference_seeds:
-                unit = infer_dir / f"unit_{chrom}_{batch}_{seed}"
-                if not _stage(unit, resume):
-                    trace.record(f"INFER[{batch},{seed}]", chrom, 0.0, skipped=True)
-                    continue
-                t_stage = time.time()
-                infer_segment(
-                    data_dir=str(pre_dir),
-                    single_group_dir=str(sg_dir),
-                    results_dir=str(infer_dir),
-                    chrom=chrom,
-                    batch=batch,
-                    seed=seed,
-                    segment_size=segment_size,
-                    buffer_size=buffer_size,
-                    mu=mu,
-                    sigma=sigma,
-                    minimum_duration=u,
-                    num_resampled_particles=(num_resampled_particles,),
-                    num_samples_backward=num_samples_backward,
-                )
-                _finish(unit)
-                trace.record(f"INFER[{batch},{seed}]", chrom, time.time() - t_stage)
+            # All seeds of a batch run vmapped in one device program.
+            unit = infer_dir / f"unit_{chrom}_{batch}"
+            if not _stage(unit, resume):
+                trace.record(f"INFER[{batch}]", chrom, 0.0, skipped=True)
+                continue
+            t_stage = time.time()
+            infer_segment(
+                data_dir=str(pre_dir),
+                single_group_dir=str(sg_dir),
+                results_dir=str(infer_dir),
+                chrom=chrom,
+                batch=batch,
+                seed=list(inference_seeds),
+                segment_size=segment_size,
+                buffer_size=buffer_size,
+                mu=mu,
+                sigma=sigma,
+                minimum_duration=u,
+                num_resampled_particles=(num_resampled_particles,),
+                num_samples_backward=num_samples_backward,
+            )
+            _finish(unit)
+            trace.record(f"INFER[{batch}]", chrom, time.time() - t_stage)
 
         # ---- 5: aggregate --------------------------------------------------
         agg_dir = out / "5_AGGREGATE_RESULTS" / str(chrom)

@@ -155,70 +155,78 @@ def infer_segment(
             n_meth_case, n_total_case, params.alpha, params.beta
         )
 
-    log_norm_constants = {}
-    times = {}
-    times_backward = {}
+    seeds = [seed] if np.isscalar(seed) else list(seed)
+    all_log_norm = {s: {} for s in seeds}
+    times = {s: {} for s in seeds}
+    times_backward = {s: {} for s in seeds}
     for M in num_resampled_particles:
         N = M * (2 * R + R * R)
 
         @jax.jit
-        def run_m(key):
-            res = run_filter(
-                key,
-                params,
-                E_c,
-                E_k,
-                M,
-                optimal_resampling=True,
-                multinomial_resampling=multinomial,
-                weight_dtype=weight_dtype,
-            )
-            traj = backward_simulation(
-                jax.random.fold_in(key, 1),
-                params,
-                res.log_weights,
-                res.particles,
-                num_samples_backward,
-            )
-            split, regime = smoothing_functionals(traj, R)
-            return res.log_normalizing_constant, traj, split, regime
+        def run_m(keys):
+            # Seeds are vmapped: every Monte-Carlo replicate of this segment
+            # runs in one device program (the reference launches one process
+            # per seed; `each inference_seed`, modules/two_group/4_infer.nf:28).
+            def one(key):
+                res = run_filter(
+                    key,
+                    params,
+                    E_c,
+                    E_k,
+                    M,
+                    optimal_resampling=True,
+                    multinomial_resampling=multinomial,
+                    weight_dtype=weight_dtype,
+                )
+                traj = backward_simulation(
+                    jax.random.fold_in(key, 1),
+                    params,
+                    res.log_weights,
+                    res.particles,
+                    num_samples_backward,
+                )
+                split, regime = smoothing_functionals(traj, R)
+                return res.log_normalizing_constant, traj, split, regime
+
+            return jax.vmap(one)(keys)
 
         t0 = time.time()
-        key = jax.random.PRNGKey(seed)
-        log_z, traj, split, regime = run_m(key)
-        log_z = float(log_z)
-        traj = np.asarray(traj)
-        times[N] = time.time() - t0
-        log_norm_constants[N] = log_z
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        log_z_v, traj_v, split_v, regime_v = run_m(keys)
+        elapsed = time.time() - t0
+        for i, s in enumerate(seeds):
+            log_z = float(log_z_v[i])
+            traj = np.asarray(traj_v[i])
+            times[s][N] = elapsed / len(seeds)
+            all_log_norm[s][N] = log_z
+            np.savez_compressed(
+                os.path.join(path, f"optimal_backward_particles_merged_state_{N}_{s}"),
+                traj[:, :, 0].astype(np.int16)[ret],
+            )
+            np.savez_compressed(
+                os.path.join(path, f"optimal_backward_particles_control_state_{N}_{s}"),
+                traj[:, :, 1:3].astype(np.int16)[ret],
+            )
+            np.savez_compressed(
+                os.path.join(path, f"optimal_backward_particles_case_state_{N}_{s}"),
+                traj[:, :, 3:5].astype(np.int16)[ret],
+            )
+            np.savez_compressed(
+                os.path.join(path, f"optimal_split_probs_{N}_{s}"),
+                np.asarray(split_v[i]),
+            )
+            np.savez_compressed(
+                os.path.join(path, f"optimal_regime_probs_{N}_{s}"),
+                np.asarray(regime_v[i]),
+            )
 
-        merged = traj[:, :, 0]
-        control_state = traj[:, :, 1:3]  # (duration, regime)
-        case_state = traj[:, :, 3:5]
-        np.savez_compressed(
-            os.path.join(path, f"optimal_backward_particles_merged_state_{N}_{seed}"),
-            merged.astype(np.int16)[ret],
-        )
-        np.savez_compressed(
-            os.path.join(path, f"optimal_backward_particles_control_state_{N}_{seed}"),
-            control_state.astype(np.int16)[ret],
-        )
-        np.savez_compressed(
-            os.path.join(path, f"optimal_backward_particles_case_state_{N}_{seed}"),
-            case_state.astype(np.int16)[ret],
-        )
-        np.savez_compressed(
-            os.path.join(path, f"optimal_split_probs_{N}_{seed}"), np.asarray(split)
-        )
-        np.savez_compressed(
-            os.path.join(path, f"optimal_regime_probs_{N}_{seed}"), np.asarray(regime)
-        )
-
-    with open(
-        os.path.join(path, f"log_normalizing_constants_optimal_{seed}.txt"), "w"
-    ) as f:
-        print(log_norm_constants, file=f)
-    with open(os.path.join(path, f"optimal_time_{seed}.txt"), "w") as f:
-        print(times, file=f)
-    with open(os.path.join(path, f"optimal_time_backward_{seed}.txt"), "w") as f:
-        print(times_backward, file=f)
-    return log_norm_constants
+    for s in seeds:
+        with open(
+            os.path.join(path, f"log_normalizing_constants_optimal_{s}.txt"), "w"
+        ) as f:
+            print(all_log_norm[s], file=f)
+        with open(os.path.join(path, f"optimal_time_{s}.txt"), "w") as f:
+            print(times[s], file=f)
+        with open(os.path.join(path, f"optimal_time_backward_{s}.txt"), "w") as f:
+            print(times_backward[s], file=f)
+    return all_log_norm if len(seeds) > 1 else all_log_norm[seeds[0]]
