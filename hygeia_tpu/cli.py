@@ -69,6 +69,8 @@ def build_parser():
     sp.add_argument("--robust", action="store_true",
                     help="use the robust (beta-divergence) emission score")
     sp.add_argument("--robust_beta", type=float, default=0.05)
+    sp.add_argument("--trace_dir", default=None,
+                    help="write a jax.profiler trace of the device computation here")
     sp.add_argument("--chrom", default="22")
     sp.add_argument("--results_dir", default="test")
     sp.add_argument("--data_dir", default="data")
@@ -265,6 +267,7 @@ def main(argv=None):
             multinomial=args.multinomial,
             robust=args.robust,
             robust_beta=args.robust_beta,
+            trace_dir=args.trace_dir,
         )
 
     elif verb == "aggregate":

@@ -290,19 +290,26 @@ def run_online_combined_inference(
         logBZ = logsumexp(logB, axis=1, keepdims=True)
         B = jnp.where(jnp.isfinite(logBZ), jnp.exp(logB - logBZ), 0.0)  # (R, N)
 
+        # Mixing matrix M[n, j]: the linear map taking any per-particle
+        # statistic at t-1 to its value at t — one-hot ancestor columns for
+        # continuation slots, backward-kernel columns for fresh slots, zero
+        # for dead slots. The psi and phi recursions then become single
+        # (.., N) x (N, N) matmuls on the MXU instead of large gathers
+        # (gathers scale linearly with batch on TPU and dominated step time).
+        cont_onehot = (
+            (jnp.arange(N)[:, None] == a[None, :]) & is_cont[None, :]
+        ).astype(dtype)
+        onehot_fresh = (
+            (fresh_idx[:, None] == regimes[None, :]) & is_fresh[:, None]
+        ).astype(dtype)  # (N, R)
+        mix = cont_onehot + jnp.einsum("jq,qn->nj", onehot_fresh, B)  # (N, N)
+
         # ---- OnlineMarginalSmoothing::update ------------------------------
         psi, psi_time, psi_valid = carry["psi"], carry["psi_time"], carry["psi_valid"]
         out, out_valid, spill = carry["out"], carry["out_valid"], carry["spill"]
         if config.estimate_regimes:
-            # updatePsi (:148-195): continuations gather ancestors, fresh mix
-            # via the backward kernels.
-            psi_anc = psi[:, :, a]  # (S, R, N) gathered at cont. ancestors
-            psi_fresh = jnp.einsum("qn,srn->srq", B, psi)  # (S, R, R)
-            psi_new = jnp.where(
-                is_cont[None, None, :],
-                psi_anc,
-                jnp.where(is_fresh[None, None, :], psi_fresh[:, :, fresh_idx], 0.0),
-            )
+            # updatePsi (:148-195) as one mixing matmul.
+            psi_new = jnp.einsum("srn,nj->srj", psi, mix)
             psi_new = jnp.where(psi_valid[:, None, None], psi_new, 0.0)
 
             # initialisePsi for time t: insert into a free ring slot; if full,
@@ -358,19 +365,21 @@ def run_online_combined_inference(
         grad_prev = carry["grad_prev"]
         adam_m, adam_v, adam_iter = carry["adam_m"], carry["adam_v"], carry["adam_iter"]
         if config.estimate_parameters:
+            # phi recursion via the mixing matmul: the ancestor/backward-mix
+            # of phi_prev is mix^T phi_prev; the per-slot gradient increments
+            # are added separately (continuation gradients at the ancestor
+            # state; fresh gradients B-averaged, Smc-layout of
+            # OnlineParameterEstimation.h:135-170).
             g_cont = _grad_cont(tables, d_prev[a], r_prev[a])  # (N, D)
-            phi_cont = phi[a] + g_cont
             g_cp = _grad_cp(tables, d_prev, r_prev, regimes)  # (R, N, D)
-            phi_fresh = jnp.einsum("qn,qnd->qd", B, phi[None, :, :] + g_cp)
-            phi_new = jnp.where(
+            g_fresh = jnp.einsum("qn,qnd->qd", B, g_cp)  # (R, D)
+            grad_term = jnp.where(
                 is_cont[:, None],
-                phi_cont,
-                jnp.where(
-                    is_fresh[:, None],
-                    phi_fresh[fresh_idx],
-                    0.0,
-                ),
+                g_cont,
+                jnp.where(is_fresh[:, None], g_fresh[fresh_idx], 0.0),
             )
+            phi_new = jnp.einsum("nj,nd->jd", mix, phi) + grad_term
+            phi_new = jnp.where((is_cont | is_fresh)[:, None], phi_new, 0.0)
             score = jnp.einsum("nd,n->d", phi_new, w_self)
             do_update = (t % config.steps_per_update) == 0
             grad_curr = score

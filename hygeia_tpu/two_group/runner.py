@@ -63,13 +63,18 @@ def infer_segment(
     multinomial=False,
     robust=False,
     robust_beta=0.05,
+    trace_dir=None,
     weight_dtype=jnp.float32,
 ):
     """Run inference for one (chrom, batch, seed) work unit.
 
     robust=True swaps the BetaBinomial emissions for the beta-divergence
     score (the case_control_robust_regime_model variant, default beta 0.05
-    per case_control_robust_regime_model.py:62)."""
+    per case_control_robust_regime_model.py:62).
+
+    trace_dir: if set, the device computation runs under jax.profiler.trace
+    (viewable in TensorBoard/XProf) — the engine-level analog of the
+    reference's Nextflow -with-trace artifacts."""
     mu = np.asarray(mu, np.float64)
     R = len(mu)
 
@@ -192,7 +197,12 @@ def infer_segment(
 
         t0 = time.time()
         keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
-        log_z_v, traj_v, split_v, regime_v = run_m(keys)
+        if trace_dir:
+            with jax.profiler.trace(str(trace_dir)):
+                log_z_v, traj_v, split_v, regime_v = run_m(keys)
+                jax.block_until_ready(log_z_v)
+        else:
+            log_z_v, traj_v, split_v, regime_v = run_m(keys)
         elapsed = time.time() - t0
         for i, s in enumerate(seeds):
             log_z = float(log_z_v[i])
