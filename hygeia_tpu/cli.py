@@ -187,6 +187,8 @@ def build_parser():
     sp.add_argument("--minimum_duration", type=int, default=3)
     sp.add_argument("--omega_case", type=float, default=0.8)
     sp.add_argument("--omega_control", type=float, default=0.8)
+    sp.add_argument("--regimes_config", type=int, default=None, choices=range(1, 11),
+                    help="use one of the reference's 10 fixed (mu, sigma) scenario presets")
     sp.add_argument("--merge_log_prob", type=float, default=float(np.log(0.1)))
     sp.add_argument("--split_prob", type=float, default=0.01)
     sp.add_argument("--n_observations", type=int, default=2000)

@@ -1,8 +1,36 @@
 """The `simulate_two_groups` verb: generative simulation + optional
 self-test inference (the reference's de-facto integration test,
-simulate_two_groups.py + SURVEY.md section 4)."""
+simulate_two_groups.py + SURVEY.md section 4).
+
+REGIME_CONFIGS reproduces the reference's 10 fixed (mu, sigma) scenario
+presets (simulate_two_groups.py:122-192; config 10 is the 5-regime one)."""
 
 from __future__ import annotations
+
+import numpy as _np
+
+REGIME_CONFIGS = {
+    1: ([0.95, 0.05, 0.85, 0.15, 0.50, 0.50],
+        [0.10, 0.10, 0.08, 0.08, 0.15, 1 / _np.sqrt(12)]),
+    2: ([0.95, 0.05, 0.85, 0.15, 0.50, 0.50],
+        [0.10, 0.10, 0.04, 0.04, 0.15, 1 / _np.sqrt(12)]),
+    3: ([0.95, 0.05, 0.85, 0.15, 0.50, 0.50],
+        [0.15, 0.15, 0.08, 0.08, 0.15, 1 / _np.sqrt(12)]),
+    4: ([0.95, 0.05, 0.85, 0.15, 0.50, 0.50],
+        [0.15, 0.15, 0.04, 0.04, 0.15, 1 / _np.sqrt(12)]),
+    5: ([0.99, 0.01, 0.80, 0.20, 0.50, 0.50],
+        [0.05, 0.05, 0.05, 0.05, 0.10, 1 / _np.sqrt(6)]),
+    6: ([0.99, 0.01, 0.80, 0.20, 0.50, 0.50],
+        [0.05, 0.05, 0.10, 0.10, 0.10, 1 / _np.sqrt(6)]),
+    7: ([0.95, 0.05, 0.85, 0.15, 0.50, 0.50],
+        [0.05, 0.05, 0.05, 0.05, 0.05, 1 / _np.sqrt(12)]),
+    8: ([0.95, 0.05, 0.80, 0.20, 0.50, 0.50],
+        [0.05, 0.05, 0.10, 0.10, 0.10, 1 / _np.sqrt(12)]),
+    9: ([0.95, 0.05, 0.75, 0.25, 0.50, 0.50],
+        [0.10, 0.10, 0.10, 0.10, 0.10, 1 / _np.sqrt(12)]),
+    10: ([0.95, 0.05, 0.80, 0.20, 0.50],
+         [0.05, 0.05, 0.10, 0.10, 0.10]),
+}
 
 import os
 
@@ -20,7 +48,11 @@ from hygeia_tpu.two_group.backward import backward_simulation, smoothing_functio
 
 def simulate_two_groups(args):
     os.makedirs(args.results_dir, exist_ok=True)
-    R = len(args.mu)
+    mu, sigma = args.mu, args.sigma
+    cfg = getattr(args, "regimes_config", None)
+    if cfg:
+        mu, sigma = REGIME_CONFIGS[cfg]
+    R = len(mu)
     rng = np.random.default_rng(args.seed)
 
     # Random row-normalised off-diagonal transition matrix (the reference
@@ -35,8 +67,8 @@ def simulate_two_groups(args):
         log_p = np.log(p)
 
     params = make_params(
-        mu=args.mu,
-        sigma=args.sigma,
+        mu=mu,
+        sigma=sigma,
         p_softmax_control=log_p,
         omega_logit_control=np.asarray(logit(jnp.full((R,), args.omega_control))),
         omega_case=args.omega_case,
