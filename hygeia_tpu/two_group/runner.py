@@ -164,8 +164,14 @@ def infer_segment(
     all_log_norm = {s: {} for s in seeds}
     times = {s: {} for s in seeds}
     times_backward = {s: {} for s in seeds}
+    hbm_budget = float(os.environ.get("HYGEIA_HBM_BUDGET_GB", 8.0)) * 2**30
     for M in num_resampled_particles:
         N = M * (2 * R + R * R)
+        # The filter history costs ~T*N*(4B weights + 5*4B particles) per
+        # seed; chunk the vmapped seeds so history + temps fit in HBM
+        # (full 110k-site segments with N=2400 take ~6.3 GB per seed).
+        per_seed = T * N * 24
+        seeds_per_call = max(1, int(hbm_budget // max(per_seed, 1)))
 
         @jax.jit
         def run_m(keys):
@@ -195,19 +201,29 @@ def infer_segment(
 
             return jax.vmap(one)(keys)
 
-        t0 = time.time()
-        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
-        if trace_dir:
-            with jax.profiler.trace(str(trace_dir)):
+        outs = {}
+        for c0 in range(0, len(seeds), seeds_per_call):
+            chunk = seeds[c0 : c0 + seeds_per_call]
+            t0 = time.time()
+            keys = jnp.stack([jax.random.PRNGKey(s) for s in chunk])
+            if trace_dir:
+                with jax.profiler.trace(str(trace_dir)):
+                    log_z_v, traj_v, split_v, regime_v = run_m(keys)
+                    jax.block_until_ready(log_z_v)
+            else:
                 log_z_v, traj_v, split_v, regime_v = run_m(keys)
-                jax.block_until_ready(log_z_v)
-        else:
-            log_z_v, traj_v, split_v, regime_v = run_m(keys)
-        elapsed = time.time() - t0
-        for i, s in enumerate(seeds):
-            log_z = float(log_z_v[i])
-            traj = np.asarray(traj_v[i])
-            times[s][N] = elapsed / len(seeds)
+            elapsed = time.time() - t0
+            for i, s in enumerate(chunk):
+                outs[s] = (
+                    float(log_z_v[i]),
+                    np.asarray(traj_v[i]),
+                    np.asarray(split_v[i]),
+                    np.asarray(regime_v[i]),
+                    elapsed / len(chunk),
+                )
+        for s in seeds:
+            log_z, traj, split_s, regime_s, t_s = outs[s]
+            times[s][N] = t_s
             all_log_norm[s][N] = log_z
             np.savez_compressed(
                 os.path.join(path, f"optimal_backward_particles_merged_state_{N}_{s}"),
@@ -222,12 +238,10 @@ def infer_segment(
                 traj[:, :, 3:5].astype(np.int16)[ret],
             )
             np.savez_compressed(
-                os.path.join(path, f"optimal_split_probs_{N}_{s}"),
-                np.asarray(split_v[i]),
+                os.path.join(path, f"optimal_split_probs_{N}_{s}"), split_s
             )
             np.savez_compressed(
-                os.path.join(path, f"optimal_regime_probs_{N}_{s}"),
-                np.asarray(regime_v[i]),
+                os.path.join(path, f"optimal_regime_probs_{N}_{s}"), regime_s
             )
 
     for s in seeds:
