@@ -33,11 +33,33 @@ class ResampleResult(NamedTuple):
     # (kept: previous weight; resampled: logZ - log_c). Mirrors
     # resample.h:350-364. Only meaningful for the optimal scheme.
     new_log_weights: jnp.ndarray  # (M,)
+    # Top-M indices by weight (descending) — the keep_top_m fallback parents,
+    # shared here so the filter's no-resample branch reuses this scheme's
+    # top_k instead of running a second one per scan step.
+    top_m_indices: jnp.ndarray  # (M,) int32
 
 
 def _normalise(log_weights):
     log_z = jax.scipy.special.logsumexp(log_weights)
     return log_weights - log_z, log_z
+
+
+def _count_below(q, t, *, strict_side_left=True):
+    """Exact replacement for jnp.searchsorted(q, t, side=...) on sorted q.
+
+    side="left"  -> first i with q_i >= t  == #{i: q_i <  t}
+    side="right" -> first i with q_i >  t  == #{i: q_i <= t}
+
+    Computed as a (len(t), len(q)) comparison + row-sum: pure VPU work that
+    fuses into the surrounding step, instead of XLA's binary-search lowering
+    (a log2(N)-deep while loop of dynamic gathers per query — gathers
+    dominated the filter's per-step cost on TPU).
+    """
+    if strict_side_left:
+        cmp = q[None, :] < t[:, None]
+    else:
+        cmp = q[None, :] <= t[:, None]
+    return jnp.sum(cmp.astype(jnp.int32), axis=1)
 
 
 def systematic_resampling(key, log_norm_weights, num_offspring):
@@ -55,15 +77,25 @@ def systematic_resampling(key, log_norm_weights, num_offspring):
     # total can fall below 1, and an unscaled grid point past it would select
     # a zero-weight (dead) slot — on TPU this produced -inf ancestors.
     t = (jnp.arange(m, dtype=jnp.float32) + u) / m * q[-1]
-    idx = jnp.searchsorted(q, t, side="left")
+    idx = _count_below(q, t)
     return jnp.clip(idx, 0, log_norm_weights.shape[0] - 1).astype(jnp.int32)
 
 
 def multinomial_resampling(key, log_weights, num_offspring):
-    """Multinomial resampling via Gumbel-max categorical draws."""
-    return jax.random.categorical(
-        key, log_weights, shape=(num_offspring,)
-    ).astype(jnp.int32)
+    """Multinomial resampling via inverse-CDF sampling.
+
+    Exactly multinomial (M iid categorical draws), but costs M uniforms plus
+    a cumsum + searchsorted instead of the Gumbel-max formulation's (M, N)
+    noise tensor (an (M, N) threefry draw on every filter scan step).
+    """
+    n = log_weights.shape[0]
+    log_norm, _ = _normalise(log_weights)
+    q = jnp.cumsum(jnp.exp(log_norm))
+    u = jax.random.uniform(key, (num_offspring,), dtype=jnp.float32)
+    # side="right" (first q strictly above t): zero-weight slots have
+    # q_i == q_{i-1} and can never be hit, even at exact CDF boundaries.
+    idx = _count_below(q, u * q[-1], strict_side_left=False)
+    return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
 
 
 def unbiased_resampling(key, log_weights, num_offspring, multinomial=False):
@@ -78,11 +110,13 @@ def unbiased_resampling(key, log_weights, num_offspring, multinomial=False):
     else:
         parents = systematic_resampling(key, log_norm, num_offspring)
     new_w = jnp.full((num_offspring,), log_z - jnp.log(float(num_offspring)))
+    _, top_idx = jax.lax.top_k(log_weights, num_offspring)
     return ResampleResult(
         parent_indices=parents,
         log_c=jnp.asarray(0.0, log_weights.dtype),
         use_unbiased=jnp.asarray(True),
         new_log_weights=new_w.astype(log_weights.dtype),
+        top_m_indices=top_idx.astype(jnp.int32),
     )
 
 
@@ -157,9 +191,7 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     # prevents selecting past the last live particle under f32 rounding.
     t = (jnp.arange(m, dtype=jnp.float32) + u) / l.astype(jnp.float32) * q_resid[-1]
     sys_idx = jnp.clip(slots - k_star, 0, m - 1)
-    resampled_parents = jnp.clip(
-        jnp.searchsorted(q_resid, t[sys_idx], side="left"), 0, n - 1
-    )
+    resampled_parents = jnp.clip(_count_below(q_resid, t[sys_idx]), 0, n - 1)
     parents = jnp.where(slots < k_star, kept_parents, resampled_parents)
 
     # Post-resampling weights (C++ semantics, resample.h:350-364).
@@ -178,6 +210,7 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
         log_c=log_c,
         use_unbiased=bad,
         new_log_weights=new_w.astype(dtype),
+        top_m_indices=kept_parents.astype(jnp.int32),
     )
 
 
@@ -200,4 +233,5 @@ def keep_top_m(log_weights, num_offspring):
         log_c=jnp.asarray(0.0, log_weights.dtype),
         use_unbiased=jnp.asarray(False),
         new_log_weights=vals,
+        top_m_indices=parents.astype(jnp.int32),
     )

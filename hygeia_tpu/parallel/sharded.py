@@ -16,8 +16,12 @@ Nextflow task fan-out (main.nf:44-75, run_inference_two_groups.py:194-218):
   to be reshaped into the chromosome.
 
 No collectives are needed in the halo scheme (the halo absorbs boundary
-error, exactly like the reference); an exact boundary-exchange variant would
-``ppermute`` final filter states between neighbouring blocks along "genome".
+error, exactly like the reference). ``boundary="exchange"`` activates the
+v2 scheme (SURVEY.md s7 step 5): forward filter states and backward
+trajectory states are passed between neighbouring genome shards with
+``jax.lax.ppermute`` over ICI, replacing the halo approximation with real
+boundary messages at ~the same compute cost (a short cold warmup tail plus
+one extra backward sweep instead of two halos).
 """
 
 from __future__ import annotations
@@ -32,8 +36,11 @@ from jax import shard_map
 
 from hygeia_tpu.ops.emissions import emission_log_prob_table
 from hygeia_tpu.two_group.model import TwoGroupParams
-from hygeia_tpu.two_group.filter import run_filter
-from hygeia_tpu.two_group.backward import backward_simulation
+from hygeia_tpu.two_group.filter import run_filter, run_filter_final
+from hygeia_tpu.two_group.backward import (
+    backward_simulation,
+    backward_simulation_conditioned,
+)
 
 
 def make_block_windows(arr, segment_size, buffer_size, n_blocks):
@@ -65,6 +72,8 @@ def sharded_two_group_inference(
     seeds,
     base_key=0,
     weight_dtype=jnp.float32,
+    boundary="halo",
+    phantom_regime=None,
 ):
     """Run the whole chromosome across the mesh.
 
@@ -73,7 +82,34 @@ def sharded_two_group_inference(
         backward-simulation states, halo-trimmed and genome-ordered
         (padding rows beyond the true T are zeros-of-the-prior; slice [:T]).
       log_z: (n_blocks, n_seeds) per-block log-normalising constants.
+
+    boundary="halo" (default) reproduces the reference's scheme: independent
+    blocks with 2*buffer_size halo sites absorbing boundary error.
+    boundary="exchange" replaces halos with real boundary messages over the
+    mesh (ppermute): forward filter states flow left-to-right and backward
+    trajectory states right-to-left, so block joins are marginally
+    consistent instead of halo-approximate. log_z then has shape
+    (n_genome, n_seeds) — one entry per device window.
     """
+    if boundary == "exchange":
+        return _exchange_two_group_inference(
+            mesh,
+            params,
+            n_meth_control,
+            n_total_control,
+            n_meth_case,
+            n_total_case,
+            segment_size=segment_size,
+            warmup_size=max(1, 2 * buffer_size),
+            num_resampled_ancestors=num_resampled_ancestors,
+            num_samples_backward=num_samples_backward,
+            seeds=seeds,
+            base_key=base_key,
+            weight_dtype=weight_dtype,
+            phantom_regime=phantom_regime,
+        )
+    if boundary != "halo":
+        raise ValueError(f"unknown boundary scheme: {boundary!r}")
     n_genome = mesh.shape["genome"]
     n_seed_mesh = mesh.shape["seed"]
     n_seeds = len(seeds)
@@ -105,6 +141,7 @@ def sharded_two_group_inference(
             e_k,
             num_resampled_ancestors,
             weight_dtype=weight_dtype,
+            phantom_regime=phantom_regime,
         )
         traj = backward_simulation(
             jax.random.fold_in(key, 1),
@@ -152,3 +189,163 @@ def sharded_two_group_inference(
     nb, ns, seg, b, _ = traj.shape
     traj = traj.transpose(0, 2, 1, 3, 4).reshape(nb * seg, ns * b, 5)
     return traj, np.asarray(log_z)
+
+
+def _exchange_two_group_inference(
+    mesh,
+    params: TwoGroupParams,
+    n_meth_control,
+    n_total_control,
+    n_meth_case,
+    n_total_case,
+    *,
+    segment_size,
+    warmup_size,
+    num_resampled_ancestors,
+    num_samples_backward,
+    seeds,
+    base_key,
+    weight_dtype,
+    phantom_regime=None,
+):
+    """Exact boundary-exchange block-parallel smoothing (SURVEY.md s7 step 5 v2).
+
+    Each genome shard owns one contiguous window of ``bpd * segment_size``
+    sites (bpd = blocks per device). Four phases, all inside one shard_map:
+
+    1. warmup: a cold filter over the LAST ``warmup_size`` sites of the own
+       window, final state shipped RIGHT (``ppermute``) — the right
+       neighbour's boundary message (the analog of the reference's left halo,
+       but the state itself is passed instead of recomputed).
+    2. main filter: warm-started from the received state (shard 0
+       cold-starts with the phantom initial distribution).
+    3. backward round 1 (unconditioned): provides each shard's first-site
+       trajectory states, shipped LEFT.
+    4. backward round 2: re-simulated conditioned on the received next-block
+       states (last shard keeps the unconditioned terminal draw).
+
+    Per-site marginals are thereby boundary-consistent: a shard's last site
+    is sampled from the backward kernel against its right neighbour's
+    first-site law rather than from the filtered marginal. (Round-1/round-2
+    trajectories are coupled only in distribution across joins, not
+    sample-by-sample — sufficient for all downstream per-site functionals in
+    aggregate_results/get_dmps; a fully pathwise-coupled variant would need a
+    sequential K-round pipeline.)
+    """
+    n_genome = mesh.shape["genome"]
+    n_seed_mesh = mesh.shape["seed"]
+    n_seeds = len(seeds)
+    T = n_meth_control.shape[0]
+    n_blocks = max(1, -(-T // segment_size))
+    n_blocks = -(-n_blocks // n_genome) * n_genome
+    bpd = n_blocks // n_genome
+    win = bpd * segment_size
+    if n_seeds % n_seed_mesh:
+        raise ValueError("len(seeds) must be a multiple of the seed mesh axis")
+    W = int(min(warmup_size, win))
+    M = num_resampled_ancestors
+    B = num_samples_backward
+
+    blocks = [
+        make_block_windows(np.asarray(a, np.float32), segment_size, 0, n_blocks)
+        for a in (n_meth_control, n_total_control, n_meth_case, n_total_case)
+    ]
+    # Keys per (device window, seed): fold in the window's first block index
+    # so halo and exchange runs draw from unrelated streams.
+    keys = jax.vmap(
+        lambda g: jax.vmap(
+            lambda s: jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(base_key), g), s
+            )
+        )(jnp.asarray(seeds, jnp.uint32))
+    )(jnp.arange(n_blocks, dtype=jnp.uint32))  # (n_blocks, n_seeds, 2)
+
+    right = [(i, i + 1) for i in range(n_genome - 1)]
+    left = [(i + 1, i) for i in range(n_genome - 1)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("genome"), P("genome"), P("genome", "seed")),
+        out_specs=(P("genome", "seed"), P("genome", "seed")),
+        check_vma=False,
+    )
+    def run_shard(e_c_blocks, e_k_blocks, key_blocks):
+        # e_*_blocks: (bpd, segment_size, R); key_blocks: (bpd, spd, 2).
+        R = e_c_blocks.shape[-1]
+        e_c = e_c_blocks.reshape(win, R)
+        e_k = e_k_blocks.reshape(win, R)
+        ks = key_blocks[0]  # (spd, 2) — one stream per seed per window
+        g = jax.lax.axis_index("genome")
+
+        # 1. warmup tail -> boundary message right.
+        def warm_one(k):
+            return run_filter_final(
+                jax.random.fold_in(k, 2),
+                params,
+                e_c[win - W :],
+                e_k[win - W :],
+                M,
+                weight_dtype=weight_dtype,
+                phantom_regime=phantom_regime,
+            )
+
+        warm = jax.vmap(warm_one)(ks)  # pytree with leading (spd,)
+        recv = jax.tree.map(
+            lambda a: jax.lax.ppermute(a, "genome", right), warm
+        )
+        use_init = g > 0
+
+        # 2. warm-started main filter.
+        def filt_one(k, lw0, p0):
+            return run_filter(
+                k,
+                params,
+                e_c,
+                e_k,
+                M,
+                weight_dtype=weight_dtype,
+                init_state=(lw0, p0),
+                use_init=use_init,
+                phantom_regime=phantom_regime,
+            )
+
+        res = jax.vmap(filt_one)(ks, recv[0], recv[1])
+
+        # 3. backward round 1 -> first-site states left.
+        def back_one(k, lw, parts):
+            return backward_simulation(
+                jax.random.fold_in(k, 1), params, lw, parts, B
+            )
+
+        traj1 = jax.vmap(back_one)(ks, res.log_weights, res.particles)
+        first = traj1[:, 0]  # (spd, B, 5)
+        recv_t = jax.lax.ppermute(first, "genome", left)
+        use_term = g < n_genome - 1
+
+        # 4. conditioned backward round 2.
+        def back_two(k, lw, parts, term):
+            return backward_simulation_conditioned(
+                jax.random.fold_in(k, 3), params, lw, parts, term, use_term
+            )
+
+        traj = jax.vmap(back_two)(ks, res.log_weights, res.particles, recv_t)
+        # (spd, win, B, 5) -> (bpd, spd, segment_size, B, 5)
+        spd = traj.shape[0]
+        traj = traj.reshape(spd, bpd, segment_size, B, 5).transpose(1, 0, 2, 3, 4)
+        log_z = res.log_normalizing_constant[None, :]  # (1, spd)
+        return traj.astype(jnp.int16), log_z
+
+    @jax.jit
+    def tables(mc, tc, mk, tk):
+        f = jax.vmap(
+            lambda m, t: emission_log_prob_table(m, t, params.alpha, params.beta)
+        )
+        return f(mc, tc), f(mk, tk)
+
+    e_c, e_k = tables(*[jnp.asarray(b) for b in blocks])
+    traj, log_z = jax.jit(run_shard)(e_c, e_k, keys)
+    traj = np.asarray(traj)  # (n_blocks, n_seeds, seg, B, 5)
+    nb, ns, seg, b, _ = traj.shape
+    traj = traj.transpose(0, 2, 1, 3, 4).reshape(nb * seg, ns * b, 5)
+    return traj, np.asarray(log_z)  # log_z: (n_genome, n_seeds)

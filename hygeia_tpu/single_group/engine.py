@@ -82,7 +82,7 @@ def _grad_p_block_columns(R):
     return jnp.asarray(col)
 
 
-def run_online_combined_inference(
+def _prepare_engine(
     key,
     model: SingleGroupModel,
     theta_init,
@@ -90,11 +90,15 @@ def run_online_combined_inference(
     config: EngineConfig,
     weight_dtype=jnp.float32,
 ):
-    """Run the combined algorithm over T sites.
+    """Build (carry0, step, shift0) for the combined algorithm.
 
-    Mirrors OnlineCombinedInference::run (OnlineCombinedInference.h:48-118):
-    initialise, then per step: smc.iterate -> evaluateBackwardKernels ->
-    smoothing.update -> parameterEstimation.update.
+    The scan carry IS the engine's full resumable state (particles, weights,
+    psi/phi statistics, theta + ADAM state, hazard tables, finalised output
+    buffer, RNG key) — run_online_combined_inference scans it over all T
+    sites in one jit; run_online_combined_inference_chunked scans it chunk
+    by chunk with an on-disk checkpoint between chunks (the intra-run
+    recovery unit SURVEY.md s5 calls for; the reference's finest unit is a
+    whole Nextflow task).
     """
     R = model.n_regimes
     N = config.n_particles_max
@@ -455,16 +459,133 @@ def run_online_combined_inference(
     carry0["out_valid"] = carry0["out_valid"].at[0].set(fin0[0])
     carry0["psi_valid"] = psi_valid0 & ~fin0
 
-    ts = jnp.arange(1, T, dtype=jnp.int32)
-    carry_f, (theta_trace, shifts) = jax.lax.scan(step, carry0, ts)
+    return carry0, step, shift0
 
-    theta_full = jnp.concatenate([theta_init[None], theta_trace], axis=0)
+
+def _result_from_carry(carry_f, theta_init, theta_trace, log_z, T):
+    theta_full = jnp.concatenate([jnp.asarray(theta_init)[None], theta_trace], axis=0)
     return EngineResult(
         regime_probs=carry_f["out"][:T],
         regime_valid=carry_f["out_valid"][:T],
         theta_trace=theta_full,
-        log_normalizing_constant=shift0 + jnp.sum(shifts),
+        log_normalizing_constant=log_z,
         spill_count=carry_f["spill"],
         final_theta=carry_f["theta"],
         final_score=carry_f["score"],
+    )
+
+
+def run_online_combined_inference(
+    key,
+    model: SingleGroupModel,
+    theta_init,
+    emissions,  # (T, R) emission log-lik table (ops/emissions)
+    config: EngineConfig,
+    weight_dtype=jnp.float32,
+):
+    """Run the combined algorithm over T sites in one scan.
+
+    Mirrors OnlineCombinedInference::run (OnlineCombinedInference.h:48-118):
+    initialise, then per step: smc.iterate -> evaluateBackwardKernels ->
+    smoothing.update -> parameterEstimation.update.
+    """
+    T = emissions.shape[0]
+    carry0, step, shift0 = _prepare_engine(
+        key, model, theta_init, emissions, config, weight_dtype
+    )
+    ts = jnp.arange(1, T, dtype=jnp.int32)
+    carry_f, (theta_trace, shifts) = jax.lax.scan(step, carry0, ts)
+    return _result_from_carry(
+        carry_f, theta_init, theta_trace, shift0 + jnp.sum(shifts), T
+    )
+
+
+def run_online_combined_inference_chunked(
+    key,
+    model: SingleGroupModel,
+    theta_init,
+    emissions,
+    config: EngineConfig,
+    *,
+    chunk_size,
+    checkpoint_path=None,
+    resume=True,
+    weight_dtype=jnp.float32,
+):
+    """Chunked variant with intra-run checkpoint/resume.
+
+    Scans ``chunk_size`` sites per device call; after each chunk the full
+    engine carry (particles, weights, psi/phi, theta, ADAM moments, hazard
+    tables, output buffer, RNG key) plus the theta trace and accumulated
+    log-normalising constant are written to ``checkpoint_path`` (.npz). A
+    killed run restarted with ``resume=True`` continues from the last
+    completed chunk — the TPU analog of Nextflow's -resume, but at CpG-block
+    rather than whole-task granularity (SURVEY.md s5 checkpoint/resume).
+
+    Returns the same EngineResult as the one-shot runner. The checkpoint
+    file is removed on successful completion.
+    """
+    import os
+
+    T = emissions.shape[0]
+    carry0, step, shift0 = _prepare_engine(
+        key, model, theta_init, emissions, config, weight_dtype
+    )
+    leaves0, treedef = jax.tree_util.tree_flatten(carry0)
+
+    ts_all = np.arange(1, T, dtype=np.int32)
+    n_steps = len(ts_all)
+    start = 0
+    log_z = np.float64(shift0)
+    trace_parts = []
+    shifts_parts = []
+
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path, allow_pickle=False)
+        if int(ck["T"]) == T and int(ck["n_leaves"]) == len(leaves0):
+            leaves0 = [jnp.asarray(ck[f"leaf_{i}"]) for i in range(len(leaves0))]
+            start = int(ck["next_step"])
+            log_z = np.float64(ck["log_z"])
+            if ck["theta_trace"].size:
+                trace_parts = [ck["theta_trace"]]
+            if ck["shifts"].size:
+                shifts_parts = [ck["shifts"]]
+    carry = jax.tree_util.tree_unflatten(treedef, leaves0)
+
+    @jax.jit
+    def run_chunk(carry, ts):
+        return jax.lax.scan(step, carry, ts)
+
+    while start < n_steps:
+        stop = min(start + chunk_size, n_steps)
+        carry, (theta_trace, shifts) = run_chunk(carry, jnp.asarray(ts_all[start:stop]))
+        jax.block_until_ready(shifts)
+        trace_parts.append(np.asarray(theta_trace))
+        shifts_parts.append(np.asarray(shifts))
+        log_z = log_z + np.asarray(shifts, np.float64).sum()
+        start = stop
+        if checkpoint_path and start < n_steps:
+            leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(carry)]
+            tmp = str(checkpoint_path) + ".tmp.npz"
+            np.savez(
+                tmp,
+                T=T,
+                n_leaves=len(leaves),
+                next_step=start,
+                log_z=np.float64(log_z),
+                theta_trace=np.concatenate(trace_parts, axis=0),
+                shifts=np.concatenate(shifts_parts, axis=0),
+                **{f"leaf_{i}": l for i, l in enumerate(leaves)},
+            )
+            os.replace(tmp, checkpoint_path)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
+    theta_trace = (
+        jnp.asarray(np.concatenate(trace_parts, axis=0))
+        if trace_parts
+        else jnp.zeros((0, len(np.asarray(theta_init))), weight_dtype)
+    )
+    return _result_from_carry(
+        carry, jnp.asarray(theta_init, weight_dtype), theta_trace, jnp.asarray(log_z), T
     )

@@ -72,6 +72,57 @@ def backward_simulation(
     return jnp.stack(fields, axis=-1)  # (T, B, 5)
 
 
+def backward_simulation_conditioned(
+    key,
+    params: TwoGroupParams,
+    log_weights,  # (T, N) filter weights
+    particles: State,  # pytree of five (T, N) arrays
+    terminal_state,  # (B, 5) int32 — next-block first-site states
+    use_terminal,  # traced bool: condition on terminal_state?
+):
+    """Backward simulation conditioned on the NEXT genome block's trajectory.
+
+    Exact boundary-exchange smoothing (parallel/sharded.py): block b receives
+    block b+1's sampled states at its first site (one site to the right of
+    block b's last site) and samples its own last site from the backward
+    kernel B(b, n) ∝ w_{T-1}^n f(terminal_b | x_{T-1}^n) instead of from the
+    filtered weights — making trajectories continuous across block joins.
+    When ``use_terminal`` is False (the genome's last block) the terminal is
+    drawn from the final weights, reproducing ``backward_simulation``.
+
+    Returns (T, B, 5) int32 trajectories.
+    """
+    T, N = log_weights.shape
+    B = terminal_state.shape[0]
+    nxt0 = State(*(terminal_state[:, i].astype(jnp.int32) for i in range(5)))
+
+    def step(carry, inputs):
+        nxt = carry  # (B,) State at time t+1
+        lw_t, cur, k, is_term = inputs
+        cur_b = State(*(f[None, :] for f in cur))  # (1, N)
+        nxt_b = State(*(f[:, None] for f in nxt))  # (B, 1)
+        trans = transition_log_prob(params, cur_b, nxt_b)  # (B, N)
+        logits_cond = jnp.where(
+            jnp.isfinite(trans) & (lw_t[None, :] > _NEG_INF),
+            lw_t[None, :].astype(trans.dtype) + trans,
+            _NEG_INF,
+        )
+        # At the terminal step without conditioning, fall back to drawing
+        # from the filtered weights (backward_simulation's terminal draw).
+        logits_uncond = jnp.broadcast_to(lw_t[None, :].astype(trans.dtype), trans.shape)
+        logits = jnp.where(is_term & ~use_terminal, logits_uncond, logits_cond)
+        sel = jax.random.categorical(k, logits, axis=-1)  # (B,)
+        picked = State(*(f[sel] for f in cur))
+        return picked, picked
+
+    keys = jax.random.split(key, T)
+    is_term = jnp.arange(T) == T - 1
+    _, trajectory = jax.lax.scan(
+        step, nxt0, (log_weights, particles, keys, is_term), reverse=True
+    )
+    return jnp.stack(list(trajectory), axis=-1)  # (T, B, 5)
+
+
 def smoothing_functionals(trajectory, n_regimes):
     """Split probabilities and regime marginals from backward trajectories.
 

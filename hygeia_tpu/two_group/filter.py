@@ -25,7 +25,6 @@ from jax.scipy.special import logsumexp
 from hygeia_tpu.ops.resampling import (
     optimal_finite_state_resampling,
     unbiased_resampling,
-    keep_top_m,
 )
 from hygeia_tpu.two_group.model import (
     State,
@@ -60,6 +59,8 @@ def run_filter(
     multinomial_resampling: bool = False,
     weight_dtype=jnp.float32,
     phantom_regime=None,
+    init_state=None,
+    use_init=None,
 ) -> FilterResult:
     """Run the filter over T sites; returns full weight/particle history.
 
@@ -71,6 +72,14 @@ def run_filter(
     uses are shift-invariant) and accumulate the shifts into the
     log-normalising constant, making float32 safe on TPU. Pass float64 on
     CPU for parity testing.
+
+    Warm start (exact boundary exchange across genome blocks): pass
+    ``init_state = (log_weights (N,), particles State of (N,))`` — the final
+    filter state of the *previous* genome block — and site 0 is scored with
+    the regular transition from that state instead of the phantom-state
+    initial distribution. ``use_init`` (traced bool, default True when
+    init_state is given) selects warm vs cold at runtime so SPMD shards can
+    branch on their mesh position (block 0 cold-starts).
     """
     R = params.n_regimes
     M = num_resampled_ancestors
@@ -79,7 +88,7 @@ def run_filter(
     T = emission_control.shape[0]
 
     key, k_init = jax.random.split(key)
-    init_lw, init_states = _first_step(
+    cold_lw, cold_states = _first_step(
         k_init,
         params,
         emission_control,
@@ -88,9 +97,36 @@ def run_filter(
         weight_dtype,
         phantom_regime,
     )
+    cold_shift = logsumexp(cold_lw)
+    cold_lw = cold_lw - cold_shift
 
-    init_shift = logsumexp(init_lw)
-    init_lw = init_lw - init_shift
+    if init_state is None:
+        init_lw, init_states, init_shift = cold_lw, cold_states, cold_shift
+    else:
+        prev_lw, prev_particles = init_state
+        key, k_warm = jax.random.split(key)
+        warm_lw, warm_states = _one_step(
+            k_warm,
+            params,
+            emission_control,
+            emission_case,
+            0,
+            prev_lw.astype(weight_dtype),
+            prev_particles,
+            M,
+            optimal_resampling,
+            multinomial_resampling,
+        )
+        warm_lw = jnp.where(jnp.isnan(warm_lw), _NEG_INF, warm_lw)
+        warm_shift = logsumexp(warm_lw)
+        warm_lw = warm_lw - warm_shift
+        if use_init is None:
+            use_init = jnp.asarray(True)
+        init_lw = jnp.where(use_init, warm_lw, cold_lw)
+        init_states = State(
+            *(jnp.where(use_init, w, c) for w, c in zip(warm_states, cold_states))
+        )
+        init_shift = jnp.where(use_init, warm_shift, cold_shift)
 
     def step(carry, inputs):
         prev_lw, prev_particles = carry
@@ -139,6 +175,73 @@ def run_filter(
         log_normalizing_constant=init_shift + jnp.sum(shifts),
         degenerate_steps=jnp.sum(degen),
     )
+
+
+def run_filter_final(
+    key,
+    params: TwoGroupParams,
+    emission_control,  # (W, R) table — warmup window
+    emission_case,  # (W, R)
+    num_resampled_ancestors: int,
+    *,
+    optimal_resampling: bool = True,
+    multinomial_resampling: bool = False,
+    weight_dtype=jnp.float32,
+    phantom_regime=None,
+):
+    """Cold-start filter that returns ONLY the final (log_weights, particles).
+
+    Used as the warmup sweep of the exact boundary-exchange scheme
+    (parallel/sharded.py): each genome block runs this on the tail of its
+    left neighbour's window and ships the final state right via ppermute.
+    No (W, N) history is materialised — O(N) memory.
+    """
+    R = params.n_regimes
+    M = num_resampled_ancestors
+    N = M * num_children(R)
+    T = emission_control.shape[0]
+
+    key, k_init = jax.random.split(key)
+    lw, states = _first_step(
+        k_init,
+        params,
+        emission_control,
+        emission_case,
+        N,
+        weight_dtype,
+        phantom_regime,
+    )
+    lw = lw - logsumexp(lw)
+
+    def step(carry, inputs):
+        prev_lw, prev_particles = carry
+        t, k_step = inputs
+        new_lw, new_particles = _one_step(
+            k_step,
+            params,
+            emission_control,
+            emission_case,
+            t,
+            prev_lw,
+            prev_particles,
+            M,
+            optimal_resampling,
+            multinomial_resampling,
+        )
+        new_lw = jnp.where(jnp.isnan(new_lw), _NEG_INF, new_lw)
+        shift = logsumexp(new_lw)
+        degenerate = ~jnp.isfinite(shift)
+        new_lw = jnp.where(
+            degenerate,
+            jnp.full_like(new_lw, -jnp.log(float(new_lw.shape[0]))),
+            new_lw - jnp.where(degenerate, 0.0, shift),
+        )
+        return (new_lw, new_particles), None
+
+    ts = jnp.arange(1, T)
+    keys = jax.random.split(key, T - 1)
+    (final_lw, final_particles), _ = jax.lax.scan(step, (lw, states), (ts, keys))
+    return final_lw, final_particles
 
 
 def _first_step(
@@ -204,8 +307,10 @@ def _one_step(
         res = unbiased_resampling(
             key, log_norm.astype(jnp.float32), M, multinomial=multinomial_resampling
         )
-    top = keep_top_m(prev_lw, M)
-    parents = jnp.where(need_resample, res.parent_indices, top.parent_indices)
+    # No-resample branch keeps the top-M slots; the indices come free from
+    # the resampler's own top_k (ordering of prev_lw == ordering of the
+    # normalised weights), avoiding a second top_k per scan step.
+    parents = jnp.where(need_resample, res.parent_indices, res.top_m_indices)
     log_c = jnp.where(need_resample, res.log_c.astype(dtype), 0.0)
     use_unbiased = need_resample & res.use_unbiased
 

@@ -46,6 +46,62 @@ def test_sharded_matches_simulated_truth():
     assert acc > 0.85, f"sharded control-regime recovery {acc}"
 
 
+def test_exchange_boundary_matches_exact_inference():
+    """boundary="exchange" with full-window warmup has distributionally
+    exact boundary messages on a 2-block split: block 0's warmup cold-starts
+    at the true genome start, so block 1 warm-starts from the exact filter
+    state, and the conditioned backward round makes block 0's trajectories
+    exact smoothing draws. Marginals must match the enumerated
+    forward-backward oracle to PF accuracy (like the single-block test in
+    test_two_group_filter)."""
+    from tests.test_two_group_filter import _exact_forward_backward
+    from hygeia_tpu.ops.emissions import emission_log_prob_table
+    from hygeia_tpu.two_group.backward import smoothing_functionals
+
+    T, R = 10, 3
+    params = default_params(R=R, min_duration=2, d_max=32)
+    rng = np.random.default_rng(11)
+    n_c = rng.poisson(25, size=(T, 1)).astype(np.float64)
+    n_k = rng.poisson(25, size=(T, 1)).astype(np.float64)
+    y_c = np.minimum(rng.poisson(10, size=(T, 1)), n_c)
+    y_k = np.minimum(rng.poisson(10, size=(T, 1)), n_k)
+    E_c = emission_log_prob_table(y_c, n_c, params.alpha, params.beta, dtype=jnp.float64)
+    E_k = emission_log_prob_table(y_k, n_k, params.alpha, params.beta, dtype=jnp.float64)
+
+    phantom_r = 1
+    log_z_exact, split_exact, ctrl_exact, case_exact = _exact_forward_backward(
+        params, E_c, E_k, phantom_r, T
+    )
+
+    mesh = make_mesh(n_genome=2, n_seed=4)
+    seeds = [0, 1, 2, 3]
+    traj, log_z = sharded_two_group_inference(
+        mesh,
+        params,
+        y_c,
+        n_c,
+        y_k,
+        n_k,
+        segment_size=5,
+        buffer_size=3,  # warmup 2*3=6 -> clamped to the 5-site window
+        num_resampled_ancestors=60,
+        num_samples_backward=500,
+        seeds=seeds,
+        weight_dtype=jnp.float64,
+        boundary="exchange",
+        phantom_regime=phantom_r,
+    )
+    assert traj.shape == (10, 4 * 500, 5)
+    assert log_z.shape == (2, 4)
+    # Sum of per-window logZ approximates the full-genome logZ per seed.
+    np.testing.assert_allclose(log_z.sum(axis=0), log_z_exact, atol=0.1)
+
+    split_pf, regime_pf = smoothing_functionals(traj.astype(np.int32), R)
+    np.testing.assert_allclose(np.asarray(split_pf), split_exact, atol=0.05)
+    np.testing.assert_allclose(np.asarray(regime_pf)[:, :R], ctrl_exact, atol=0.05)
+    np.testing.assert_allclose(np.asarray(regime_pf)[:, R:], case_exact, atol=0.05)
+
+
 def test_block_windows_padding():
     from hygeia_tpu.parallel.sharded import make_block_windows
 

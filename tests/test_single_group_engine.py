@@ -214,3 +214,67 @@ def test_score_matches_fisher_identity():
         tm[i] -= eps
         fd = (log_z(tp) - log_z(tm)) / (2 * eps)
         np.testing.assert_allclose(score[i], fd, rtol=2e-4, atol=1e-6, err_msg=f"component {i}")
+
+
+def test_chunked_engine_matches_and_resumes(tmp_path, monkeypatch):
+    """Chunked driver == one-shot scan; killed-run resume from the on-disk
+    checkpoint reproduces the same result (intra-run checkpoint/resume,
+    SURVEY.md s5)."""
+    from hygeia_tpu.single_group.engine import (
+        run_online_combined_inference_chunked,
+    )
+
+    model, theta, E = _make_setup(R=3, T=30, seed=3)
+    cfg = EngineConfig(
+        n_particles_max=30,
+        epsilon=0.01,
+        smoothing_window=32,
+        estimate_parameters=True,
+        steps_per_update=5,
+    )
+    key = jax.random.PRNGKey(1)
+    full = run_online_combined_inference(key, model, theta, E, cfg, weight_dtype=jnp.float64)
+    chunked = run_online_combined_inference_chunked(
+        key, model, theta, E, cfg, chunk_size=7, weight_dtype=jnp.float64
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.regime_probs), np.asarray(full.regime_probs), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(chunked.log_normalizing_constant),
+        float(full.log_normalizing_constant),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.theta_trace), np.asarray(full.theta_trace), atol=1e-12
+    )
+
+    # Simulate a crash: block checkpoint deletion so the last intermediate
+    # checkpoint survives the first run, then resume from it.
+    ck = tmp_path / "engine_ck.npz"
+    import os as _os
+
+    real_remove = _os.remove
+    monkeypatch.setattr(_os, "remove", lambda p: None)
+    run_online_combined_inference_chunked(
+        key, model, theta, E, cfg, chunk_size=7,
+        checkpoint_path=str(ck), weight_dtype=jnp.float64,
+    )
+    monkeypatch.setattr(_os, "remove", real_remove)
+    assert ck.exists(), "intermediate checkpoint should survive the fake crash"
+    resumed = run_online_combined_inference_chunked(
+        key, model, theta, E, cfg, chunk_size=7,
+        checkpoint_path=str(ck), resume=True, weight_dtype=jnp.float64,
+    )
+    assert not ck.exists(), "checkpoint removed after successful completion"
+    np.testing.assert_allclose(
+        np.asarray(resumed.regime_probs), np.asarray(full.regime_probs), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.final_theta), np.asarray(full.final_theta), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(resumed.log_normalizing_constant),
+        float(full.log_normalizing_constant),
+        rtol=1e-12,
+    )
