@@ -191,6 +191,32 @@ def rho_two_group(kappa, omega, u, d_max):
 
 def gather_rho(rho_table, d_prev, r_prev):
     """Look up rho for (sojourn d_prev, regime r_prev), clamping the sojourn
-    to the table depth. Entry [r, d-1] holds sojourn d (singleGroup.h:124)."""
-    d_idx = jnp.clip(d_prev - 1, 0, rho_table.shape[1] - 1)
-    return rho_table[r_prev, d_idx]
+    to the table depth. Entry [r, d-1] holds sojourn d (singleGroup.h:124).
+
+    TPU note: XLA lowers per-element table gathers to a scalar loop — at the
+    backward pass's (N=2400,) index vectors the two rho lookups alone cost
+    ~285 us per scan step (the single largest cost of the whole two-group
+    workload). For large index vectors we instead gather CONTIGUOUS
+    128-element rows of the (R*ceil(W/128), 128)-reshaped table (vectorised
+    loads) and pick the lane with a one-hot multiply-reduce — exact (0/1
+    products in f32) and ~4x faster, independent of the table depth. Small
+    lookups (the filter's (M,)-sized ancestor indices) keep the plain path.
+    """
+    W = rho_table.shape[1]
+    d_idx = jnp.clip(d_prev - 1, 0, W - 1)
+    idx_shape = jnp.broadcast_shapes(jnp.shape(d_idx), jnp.shape(r_prev))
+    n_elems = 1
+    for s in idx_shape:
+        n_elems *= int(s)
+    if n_elems < 512:
+        return rho_table[r_prev, d_idx]
+
+    L = 128
+    n_hi = -(-W // L)
+    tab = jnp.pad(rho_table, ((0, 0), (0, n_hi * L - W))).reshape(-1, L)
+    d_b = jnp.broadcast_to(d_idx, idx_shape).reshape(-1)
+    r_b = jnp.broadcast_to(r_prev, idx_shape).reshape(-1)
+    hi, lo = d_b // L, d_b % L
+    rows = tab[r_b * n_hi + hi]  # (n, L) contiguous row gather
+    oh = (lo[:, None] == jnp.arange(L)[None, :]).astype(rho_table.dtype)
+    return jnp.sum(rows * oh, axis=-1).reshape(idx_shape)

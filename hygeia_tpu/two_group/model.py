@@ -222,12 +222,17 @@ def transition_log_prob(params: TwoGroupParams, prev: State, nxt: State, *, step
     lp_b = lp_unif_not_c + _log_indicator(nxt.d_k == 1)
 
     # Branches c/d regime factor: uniform over regimes excluding both the
-    # current control regime and the previous case regime.
-    distinct = (nxt.r_c != prev.r_k).astype(params.rho_case.dtype)
-    n_opts = jnp.asarray(R - 1, params.rho_case.dtype) - distinct  # R-1 or R-2
+    # current control regime and the previous case regime. n_opts is R-1 or
+    # R-2 only — select between the two precomputed logs instead of a
+    # (next x prev)-shaped transcendental.
+    log_n_opts = jnp.where(
+        nxt.r_c != prev.r_k,
+        jnp.log(jnp.asarray(R - 2, dtypef)),
+        jnp.log(jnp.asarray(R - 1, dtypef)),
+    )
     lp_unif_not_c_not_prev = (
         _log_indicator((nxt.r_k != nxt.r_c) & (nxt.r_k != prev.r_k))
-        - jnp.log(n_opts)
+        - log_n_opts
     )
     # Branch c: collision — control jumped into the case's regime while split:
     # forced case jump.
