@@ -153,18 +153,32 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     kk = min(m + 1, n)
     top_lw, top_idx = jax.lax.top_k(log_norm, kk)  # sorted desc
     top_q = jnp.exp(top_lw)
-    # Q_k = 1 - prefix_k over the normalised weights (suffix sums only enter
-    # for k <= M, which the top-(M+1) prefix determines).
-    prefix = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(top_q)[:-1]])
-    suffix = jnp.maximum(1.0 - prefix, 0.0)
+    # Q_k = suffix mass of the normalised weights from rank k on. Computed as
+    # a sum of POSITIVE terms: reverse-cumsum over the top block plus the
+    # directly-summed non-top tail. The obvious 1 - prefix_k form is
+    # catastrophically cancellative in f32 once the top-M particles hold
+    # nearly all the mass (suffix ~1e-6 vs ulp(1) ~1.2e-7 -> ~%-level noise
+    # in log_c), which makes the consistency conditions below flip
+    # incoherently between adjacent k, so NO candidate passes and the
+    # multinomial fallback collapses a healthy particle set (observed: logZ
+    # 2.4 nats low on a 10-site f64 parity test because one step fell back).
+    top_mask = jnp.zeros((n,), bool).at[top_idx].set(True)
+    tail = jnp.sum(jnp.where(top_mask, 0.0, jnp.exp(log_norm)))
+    suffix = jnp.cumsum(top_q[::-1])[::-1] + tail
 
     k_range = jnp.arange(kk, dtype=dtype)
     log_c_k = jnp.log(jnp.maximum(m - k_range, 0.0)) - jnp.log(suffix)
-    # Candidate k is consistent iff c_k*q_k <= 1 and (k == 0 or c_k*q_{k-1} > 1)
-    # and k <= m. (Strictness matches the reference's `> 0` count.)
+    # Candidate k is consistent iff c_k*q_k <= 1 and (k == 0 or c_k*q_{k-1} >= 1)
+    # and k <= m. The previous-particle check is INCLUSIVE: at an exact
+    # boundary tie c*q_{k-1} == 1 (which f32 rounding produces in practice —
+    # residual-resampled particles share identical weights Z/c, and the
+    # threshold can land on such a block), keeping vs resampling that
+    # particle are equivalent (min(1, c*w) = c*w = 1), but a strict `>`
+    # rejects every k and spuriously triggers the multinomial fallback,
+    # collapsing the particle set and inflating logZ variance ~1e4-fold.
     below = log_c_k + top_lw <= 0.0
     prev_lw = jnp.concatenate([jnp.array([jnp.inf], dtype), top_lw[:-1]])
-    above_prev = log_c_k + prev_lw > 0.0
+    above_prev = log_c_k + prev_lw >= 0.0
     ok = below & above_prev & (k_range <= m)
     any_ok = jnp.any(ok)
     k_star = jnp.argmax(ok)  # first consistent k

@@ -22,6 +22,26 @@ from hygeia_tpu.two_group.model import State, TwoGroupParams, transition_log_pro
 _NEG_INF = -jnp.inf
 
 
+def _categorical_rows(key, logits):
+    """One categorical draw per row of (B, N) logits via inverse-CDF.
+
+    Exactly equivalent in distribution to jax.random.categorical, but costs
+    B uniforms instead of a (B, N) Gumbel tensor — threefry bit generation
+    at (B, N) per scan step was a measurable slice of backward-pass time
+    (CLAUDE.md perf rule 8). Rows with no finite logit return N-1 (never the
+    case for normalised filter weights)."""
+    b, n = logits.shape
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    safe = jnp.isfinite(m)
+    p = jnp.where(safe, jnp.exp(logits - jnp.where(safe, m, 0.0)), 0.0)
+    q = jnp.cumsum(p, axis=-1)
+    u = jax.random.uniform(key, (b, 1), dtype=q.dtype) * q[:, -1:]
+    # side="right": first q strictly above u; zero-probability slots are
+    # never hit, even at exact CDF boundaries.
+    idx = jnp.sum((q <= u).astype(jnp.int32), axis=-1)
+    return jnp.clip(idx, 0, n - 1)
+
+
 def backward_simulation(
     key,
     params: TwoGroupParams,
@@ -49,7 +69,7 @@ def backward_simulation(
             lw_t[None, :].astype(trans.dtype) + trans,
             _NEG_INF,
         )
-        sel = jax.random.categorical(k, logits, axis=-1)  # (B,)
+        sel = _categorical_rows(k, logits)  # (B,)
         picked = State(*(f[sel] for f in cur))
         return picked, picked
 
@@ -111,7 +131,7 @@ def backward_simulation_conditioned(
         # from the filtered weights (backward_simulation's terminal draw).
         logits_uncond = jnp.broadcast_to(lw_t[None, :].astype(trans.dtype), trans.shape)
         logits = jnp.where(is_term & ~use_terminal, logits_uncond, logits_cond)
-        sel = jax.random.categorical(k, logits, axis=-1)  # (B,)
+        sel = _categorical_rows(k, logits)  # (B,)
         picked = State(*(f[sel] for f in cur))
         return picked, picked
 

@@ -168,3 +168,36 @@ def test_simulation_recovery():
         post_mode[t] = np.bincount(traj[t, :, 2], minlength=R).argmax()
     accuracy = np.mean(post_mode == true_states[:, 2])
     assert accuracy > 0.8, f"control regime recovery accuracy {accuracy}"
+
+
+def test_filter_unroll_invariance():
+    """Results are bit-identical for any unroll factor (per-site fold_in
+    keys; padded trailing sites are masked out of the carry)."""
+    T, R, M = 11, 3, 8  # T-1 = 10: not a multiple of 4 or 8 -> tests padding
+    params = default_params(R=R, min_duration=2, d_max=32)
+    rng = np.random.default_rng(4)
+    n = rng.poisson(20, size=(T, 2)).astype(np.float64)
+    y = np.minimum(rng.poisson(8, size=(T, 2)), n)
+    E = emission_log_prob_table(y, n, params.alpha, params.beta, dtype=jnp.float64)
+    results = [
+        run_filter(
+            jax.random.PRNGKey(5), params, E, E, M,
+            weight_dtype=jnp.float64, unroll=k,
+        )
+        for k in (1, 4, 8, 16)
+    ]
+    base = results[0]
+    for res in results[1:]:
+        np.testing.assert_array_equal(
+            np.asarray(res.log_weights), np.asarray(base.log_weights)
+        )
+        for f, fb in zip(res.particles, base.particles):
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(fb))
+        # logZ sums the per-site shifts with a (n_chunks, K)-shaped reduction
+        # tree, so only the summation ORDER differs across unroll factors.
+        np.testing.assert_allclose(
+            float(res.log_normalizing_constant),
+            float(base.log_normalizing_constant),
+            rtol=1e-12,
+        )
+        assert int(res.degenerate_steps) == int(base.degenerate_steps)
