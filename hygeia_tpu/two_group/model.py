@@ -155,7 +155,46 @@ def _log_indicator(cond):
     return jnp.where(cond, 0.0, _NEG_INF)
 
 
-def transition_log_prob(params: TwoGroupParams, prev: State, nxt: State, *, step0=False):
+# Sentinel standing in for -inf during the one-hot matmul lookup below; any
+# result at or below _RESTORE_INF is mapped back to -inf (genuine transition
+# log-probs are orders of magnitude above it).
+_SAFE_NEG = -1e30
+_RESTORE_INF = -1e29
+
+
+def _lookup_log_p(log_p, r_prev, r_nxt, R):
+    """log_p[r_prev, r_nxt] for broadcastable int batches, gather-free.
+
+    A table gather keyed on a particle axis lowers to an XLA scalar loop
+    (~37 ns/element; CLAUDE.md rule 7) — inside the backward scan this was a
+    per-step cost. Instead: one-hot select-reduce with -inf encoded as -1e30
+    so the products stay exact (one nonzero term per output), then restored.
+    Out-of-range indices (the -1 padding particles) yield all-zero one-hots
+    and a result of -inf; every consumer masks those slots by their -inf
+    weights anyway.
+    """
+    regs = jnp.arange(R)
+    safe = jnp.where(jnp.isfinite(log_p), log_p, _SAFE_NEG)
+    oh_prev = (r_prev[..., None] == regs).astype(safe.dtype)
+    oh_nxt = (r_nxt[..., None] == regs).astype(safe.dtype)
+    # tmp[..., i] = safe[i, r_nxt[...]]
+    tmp = jnp.einsum("...j,ij->...i", oh_nxt, safe)
+    val = jnp.sum(oh_prev * tmp, axis=-1)
+    # All-zero one-hot rows (padding) produce 0 with no mass selected; send
+    # them to -inf along with restored sentinel values.
+    dead = jnp.sum(oh_prev, axis=-1) * jnp.sum(oh_nxt, axis=-1) == 0
+    return jnp.where((val <= _RESTORE_INF) | dead, _NEG_INF, val)
+
+
+def transition_log_prob(
+    params: TwoGroupParams,
+    prev: State,
+    nxt: State,
+    *,
+    step0=False,
+    rho_c=None,
+    rho_k=None,
+):
     """log f(nxt | prev), fully vectorised over broadcastable State batches.
 
     Mirrors, branch for branch:
@@ -166,24 +205,31 @@ def transition_log_prob(params: TwoGroupParams, prev: State, nxt: State, *, step
     step0=True applies the phantom-state overrides: merged probs [[0,1],[0,1]]
     and rho == 1 (case_control_regime_model.py:84,136,166).
 
-    TPU note: every table lookup here gathers only at PREV-state indices
-    (the callers broadcast prev along one axis, so these gathers stay small)
-    and resolves the NEXT-state dimension with one-hot reductions — large
-    (next x prev)-shaped gathers were the dominant cost of the backward
-    pass on TPU.
+    rho_c / rho_k: optional precomputed hazards at the PREV states (same
+    broadcast shape as prev.d_c). The backward pass evaluates this density
+    against the stored particle history every step; the hazards depend only
+    on prev, so it hoists the table lookups out of its scan and passes them
+    here (two (T, N) gathers total instead of two (N,) gathers per step).
+
+    TPU note: this function performs NO table gathers keyed on a large batch
+    axis — the merged rows are a 2-way select, the control transition row is
+    a one-hot x one-hot matmul sandwich (exact: one nonzero term per output),
+    and the hazards are either precomputed or gathered at small prev shapes
+    by gather_rho. Large (next x prev)-shaped gathers were the dominant cost
+    of the backward pass on TPU.
     """
     R = params.n_regimes
     dtypef = params.rho_case.dtype
 
-    # One-hot mask of the next control regime (rows may hold -inf, so the
-    # reduction below selects rather than multiplies).
-    regs = jnp.arange(R)
-    oh_r_c = nxt.r_c[..., None] == regs  # (..., R) bool
-
     # --- merged indicator --------------------------------------------------
     gate = jnp.minimum(prev.d_k, prev.d_c) >= params.min_duration
-    merged_rows = params.log_p_merged[prev.m]  # (prev..., 2) — tiny gather
-    lp_chain = jnp.where(nxt.m == 0, merged_rows[..., 0], merged_rows[..., 1])
+    # prev.m is binary: select between the two rows instead of gathering.
+    lpm = params.log_p_merged  # (2, 2)
+    lp_chain = jnp.where(
+        nxt.m == 0,
+        jnp.where(prev.m == 0, lpm[0, 0], lpm[1, 0]),
+        jnp.where(prev.m == 0, lpm[0, 1], lpm[1, 1]),
+    )
     lp_identity = _log_indicator(nxt.m == prev.m)
     if step0:
         lp_m = _log_indicator(nxt.m == 1)
@@ -193,11 +239,9 @@ def transition_log_prob(params: TwoGroupParams, prev: State, nxt: State, *, step
     # --- control state -----------------------------------------------------
     if step0:
         rho_c = jnp.ones_like(prev.d_c, params.rho_control.dtype)
-    else:
+    elif rho_c is None:
         rho_c = gather_rho(params.rho_control, prev.d_c, prev.r_c)
-    ctrl_rows = params.log_p_control[prev.r_c]  # (prev..., R)
-    # Row entries can be -inf (diagonal): use select-reduce, not multiply.
-    lp_p_ctrl = jnp.max(jnp.where(oh_r_c > 0, ctrl_rows, _NEG_INF), axis=-1)
+    lp_p_ctrl = _lookup_log_p(params.log_p_control, prev.r_c, nxt.r_c, R)
     lp_ctrl_cp = jnp.log(rho_c) + lp_p_ctrl
     lp_ctrl_cont = (
         jnp.log1p(-rho_c)
@@ -209,7 +253,7 @@ def transition_log_prob(params: TwoGroupParams, prev: State, nxt: State, *, step
     # --- case state --------------------------------------------------------
     if step0:
         rho_k = jnp.ones_like(prev.d_k, params.rho_case.dtype)
-    else:
+    elif rho_k is None:
         rho_k = gather_rho(params.rho_case, prev.d_k, prev.r_k)
 
     # Branch a: currently merged -> case is an exact copy of control.
