@@ -69,6 +69,12 @@ def build_parser():
     sp.add_argument("--robust", action="store_true",
                     help="use the robust (beta-divergence) emission score")
     sp.add_argument("--robust_beta", type=float, default=0.05)
+    sp.add_argument("--marginal", action="store_true",
+                    help="adaptive-lag marginal filter: O(1) memory in "
+                         "segment length; split/regime probs from smoothing "
+                         "functionals, no backward-particle archives")
+    sp.add_argument("--marginal_epsilon", type=float, default=0.01)
+    sp.add_argument("--marginal_window", type=int, default=64)
     sp.add_argument("--trace_dir", default=None,
                     help="write a jax.profiler trace of the device computation here")
     sp.add_argument("--chrom", default="22")
@@ -151,6 +157,10 @@ def build_parser():
     sp.add_argument("--chr", required=True)
     sp.add_argument("--regimes_file", required=True)
     sp.add_argument("--output_file", required=True)
+    sp.add_argument("--bgzip", action="store_true",
+                    help="also bgzip-compress and tabix-index the BED "
+                         "(the reference module's post-steps, "
+                         "4_generate_single_group_bed_files.nf:29-30)")
 
     # ---- run (orchestrator) ------------------------------------------------
     sp = sub.add_parser(
@@ -162,6 +172,12 @@ def build_parser():
     sp.add_argument("--chroms", type=lambda s: s.split(","), default=["chr21", "chr22"])
     sp.add_argument("--cpg_file_path", default=None)
     sp.add_argument("--preprocessed_dir", default=None)
+    sp.add_argument("--sample_sheet", default=None,
+                    help="CSV with id,file columns (single-group mode; "
+                         "main.nf:21-24)")
+    sp.add_argument("--max_retries", type=int, default=5,
+                    help="per-unit retries before ignore "
+                         "(nextflow.config:23-27)")
     sp.add_argument("--control_data_path", action="append", default=[])
     sp.add_argument("--control_id_names", action="append", default=[])
     sp.add_argument("--case_data_path", action="append", default=[])
@@ -270,6 +286,9 @@ def main(argv=None):
             robust=args.robust,
             robust_beta=args.robust_beta,
             trace_dir=args.trace_dir,
+            marginal=args.marginal,
+            marginal_epsilon=args.marginal_epsilon,
+            marginal_window=args.marginal_window,
         )
 
     elif verb == "aggregate":
@@ -364,18 +383,35 @@ def main(argv=None):
     elif verb == "make_bed_file":
         from hygeia_tpu.pipeline.bed import make_bed
 
-        make_bed(args.chr, args.regimes_file, args.output_file)
+        make_bed(args.chr, args.regimes_file, args.output_file, compress=args.bgzip)
         print(f"Completed processing for chromosome {args.chr}")
 
     elif verb == "run":
-        from hygeia_tpu.pipeline.orchestrator import run_two_group
+        from hygeia_tpu.pipeline.orchestrator import run_single_group, run_two_group
 
         if not args.two_group:
-            raise SystemExit(
-                "single-group `run` requires per-sample preprocessed dirs; "
-                "use the python API (pipeline.orchestrator.run_single_group) "
-                "or pass --two_group"
+            # Single-group branch (main.nf:20-30): sample sheet of raw BEDs.
+            if not args.sample_sheet:
+                raise SystemExit(
+                    "single-group `run` needs --sample_sheet (CSV with "
+                    "id,file columns) plus --cpg_file_path, like the "
+                    "reference workflow (main.nf:21-24)"
+                )
+            run_single_group(
+                output_dir=args.output_dir,
+                chroms=args.chroms,
+                sample_sheet=args.sample_sheet,
+                cpg_file_path=args.cpg_file_path,
+                mu=args.mu,
+                sigma=args.sigma,
+                u=args.min_cpg_sites_between_change_points,
+                n_particles=args.n_particles,
+                resume=not args.no_resume,
+                stub_run=args.stub_run,
+                max_retries=args.max_retries,
             )
+            print(f"pipeline complete: {args.output_dir}")
+            return 0
         run_two_group(
             output_dir=args.output_dir,
             chroms=args.chroms,
@@ -396,6 +432,7 @@ def main(argv=None):
             n_particles_single_group=args.n_particles,
             resume=not args.no_resume,
             stub_run=args.stub_run,
+            max_retries=args.max_retries,
         )
         print(f"pipeline complete: {args.output_dir}")
 

@@ -142,6 +142,7 @@ def sharded_two_group_inference(
             num_resampled_ancestors,
             weight_dtype=weight_dtype,
             phantom_regime=phantom_regime,
+            vma_axes=("genome", "seed"),
         )
         traj = backward_simulation(
             jax.random.fold_in(key, 1),
@@ -162,10 +163,8 @@ def sharded_two_group_inference(
             P("genome", "seed"),  # keys
         ),
         out_specs=(P("genome", "seed"), P("genome", "seed")),
-        # The filter scan mixes varying (key-derived) and replicated carry
-        # components; skip the varying-manual-axes check rather than pcast
-        # inside engine code shared with unsharded paths.
-        check_vma=False,
+        # check_vma stays ON (the default): the cold-start carry promotion is
+        # declared explicitly via vma_axes -> lax.pcast in run_filter.
     )
     def run_shard(e_c_blocks, e_k_blocks, key_blocks):
         # e_*_blocks: (blocks_per_dev, win, R); key_blocks: (bpd, spd, 2)
@@ -268,7 +267,6 @@ def _exchange_two_group_inference(
         mesh=mesh,
         in_specs=(P("genome"), P("genome"), P("genome", "seed")),
         out_specs=(P("genome", "seed"), P("genome", "seed")),
-        check_vma=False,
     )
     def run_shard(e_c_blocks, e_k_blocks, key_blocks):
         # e_*_blocks: (bpd, segment_size, R); key_blocks: (bpd, spd, 2).
@@ -288,13 +286,17 @@ def _exchange_two_group_inference(
                 M,
                 weight_dtype=weight_dtype,
                 phantom_regime=phantom_regime,
+                vma_axes=("genome", "seed"),
             )
 
         warm = jax.vmap(warm_one)(ks)  # pytree with leading (spd,)
         recv = jax.tree.map(
             lambda a: jax.lax.ppermute(a, "genome", right), warm
         )
-        use_init = g > 0
+        # axis_index-derived flags vary on "genome" only; promote to the full
+        # manual axis set so the where() mixing with (genome, seed)-varying
+        # filter states type-checks under check_vma.
+        use_init = jax.lax.pcast(g > 0, ("seed",), to="varying")
 
         # 2. warm-started main filter.
         def filt_one(k, lw0, p0):
@@ -308,6 +310,7 @@ def _exchange_two_group_inference(
                 init_state=(lw0, p0),
                 use_init=use_init,
                 phantom_regime=phantom_regime,
+                vma_axes=("genome", "seed"),
             )
 
         res = jax.vmap(filt_one)(ks, recv[0], recv[1])
@@ -321,7 +324,7 @@ def _exchange_two_group_inference(
         traj1 = jax.vmap(back_one)(ks, res.log_weights, res.particles)
         first = traj1[:, 0]  # (spd, B, 5)
         recv_t = jax.lax.ppermute(first, "genome", left)
-        use_term = g < n_genome - 1
+        use_term = jax.lax.pcast(g < n_genome - 1, ("seed",), to="varying")
 
         # 4. conditioned backward round 2.
         def back_two(k, lw, parts, term):

@@ -23,7 +23,13 @@ def aggregate_chromosome(
     num_particles,
     num_batches,
     compute_freqs=False,
+    skip_missing=False,
 ):
+    """skip_missing=False reproduces the reference exactly (aggregate_results
+    .py:71-85 breaks at the first absent batch dir). skip_missing=True keeps
+    going — the orchestrator uses it so one INFER unit that failed after all
+    retries (errorStrategy ignore, nextflow.config:23-27) does not discard
+    every later batch of the chromosome."""
     os.makedirs(output_dir, exist_ok=True)
     N = num_particles
 
@@ -48,6 +54,8 @@ def aggregate_chromosome(
         data_dir = os.path.join(results_dir, f"chrom_{chrom}_{batch}")
         pos_file = os.path.join(data_dir, "positions.csv.gz")
         if not os.path.isfile(pos_file):
+            if skip_missing:
+                continue
             break
         positions = pd.read_table(pos_file, sep=",", header=None, dtype=np.int64)
 

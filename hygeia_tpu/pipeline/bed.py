@@ -24,7 +24,12 @@ _REGIME_COLOURS = [
 _TIE_COLOUR = "128,128,128"
 
 
-def make_bed(chrom, regimes_file, output_file):
+def make_bed(chrom, regimes_file, output_file, *, compress=False):
+    """Write the BED9 track; with compress=True also bgzip-compress it to
+    `<output_file>.gz` and build a tabix index `<output_file>.gz.tbi`,
+    matching the reference module's `bgzip` + `tabix -p bed` post-steps
+    (modules/single_group/4_generate_single_group_bed_files.nf:24-30).
+    Returns the BED dataframe."""
     regimes = pd.read_csv(regimes_file)
     regime_cols = [c for c in regimes.columns if c != "genomic_position"]
     probs = regimes[regime_cols].to_numpy(float)
@@ -57,4 +62,10 @@ def make_bed(chrom, regimes_file, output_file):
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     bed.to_csv(output_file, sep="\t", header=False, index=False)
+    if compress:
+        from hygeia_tpu.utils.bgzf import compress_file
+        from hygeia_tpu.utils.tabix import build_index
+
+        gz_path = compress_file(str(output_file), delete_src=True)
+        build_index(gz_path)
     return bed

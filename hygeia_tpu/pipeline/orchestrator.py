@@ -35,13 +35,15 @@ class StageTrace:
         self.path = Path(output_dir)
         self.rows = []
 
-    def record(self, stage, chrom, seconds, skipped=False):
-        self.rows.append((stage, str(chrom), round(seconds, 3), skipped))
+    def record(self, stage, chrom, seconds, skipped=False, attempts=1, status="ok"):
+        self.rows.append(
+            (stage, str(chrom), round(seconds, 3), skipped, attempts, status)
+        )
 
     def flush(self):
         self.path.mkdir(parents=True, exist_ok=True)
         with open(self.path / "trace.tsv", "w") as f:
-            f.write("stage\tchrom\twall_s\tskipped\n")
+            f.write("stage\tchrom\twall_s\tskipped\tattempts\tstatus\n")
             for r in self.rows:
                 f.write("\t".join(str(x) for x in r) + "\n")
         with open(self.path / "versions.yml", "w") as f:
@@ -55,6 +57,57 @@ class StageTrace:
                 f.write(f'jax: "{jax.__version__}"\n')
         except Exception:
             pass
+
+
+class StageFailed(RuntimeError):
+    """A pipeline stage failed after exhausting its retries and the error
+    strategy was `terminate` (the commented-out alternative in
+    nextflow.config:25)."""
+
+
+def _attempt(
+    fn,
+    *,
+    trace: "StageTrace",
+    stage,
+    chrom,
+    max_retries=5,
+    ignore=True,
+    logger=None,
+):
+    """Run one pipeline work unit under the reference's error strategy:
+    retry up to ``max_retries`` times, then ``ignore`` (nextflow.config:23-27:
+    ``errorStrategy = { task.attempt <= maxRetries ? 'retry' : 'ignore' }``).
+
+    Each attempt is passed its 1-based attempt number — the analog of
+    Nextflow's escalating ``task.attempt`` resources
+    (modules/two_group/4_infer.nf:10) so callers can grow memory-shaped knobs
+    (e.g. halve the vmapped seed chunk) per attempt.
+
+    Returns True if the unit succeeded, False if it was ignored after all
+    retries. Raises StageFailed instead when ignore=False.
+    """
+    t0 = time.time()
+    last_err = None
+    for attempt in range(1, max_retries + 2):  # first try + max_retries
+        try:
+            fn(attempt)
+            trace.record(stage, chrom, time.time() - t0, attempts=attempt)
+            return True
+        except Exception as e:  # noqa: BLE001 — task isolation, like Nextflow
+            last_err = e
+            if logger:
+                logger(f"{stage}[{chrom}] attempt {attempt} failed: {e!r}")
+    trace.record(
+        stage,
+        chrom,
+        time.time() - t0,
+        attempts=max_retries + 1,
+        status=f"ignored: {type(last_err).__name__}",
+    )
+    if not ignore:
+        raise StageFailed(f"{stage}[{chrom}] failed after retries") from last_err
+    return False
 
 
 def _marker(path: Path) -> Path:
@@ -100,6 +153,7 @@ def run_two_group(
     resume=True,
     rng_seed=0,
     stub_run=False,
+    max_retries=5,
 ):
     """Full two-group pipeline for a list of chromosomes.
 
@@ -114,6 +168,12 @@ def run_two_group(
     R = len(mu)
     n_backward_total = num_resampled_particles * (2 * R + R * R)
     trace = StageTrace(out)
+    # Multi-host entry (the AWS-Batch-scale analog): no-op single-host,
+    # connects jax.distributed when coordinator env hints are set.
+    if not stub_run:
+        from hygeia_tpu.parallel.launcher import initialize_distributed
+
+        initialize_distributed()
 
     if stub_run:
         _stub_two_group(out, chroms, inference_seeds, n_backward_total)
@@ -143,25 +203,36 @@ def run_two_group(
         # (modules/two_group/2_estimate_parameters_and_regimes.nf:39-52 runs
         # the engine on control reads with both estimation flags).
         sg_dir = out / "2_ESTIMATE_PARAMETERS_AND_REGIMES" / str(chrom)
-        t_stage = time.time()
         if _stage(sg_dir, resume):
-            _single_group_on_counts(
-                pre_dir,
-                sg_dir,
-                chrom,
-                group="control",
-                mu=mu,
-                sigma=sigma,
-                u=u,
-                n_particles=n_particles_single_group,
-                epsilon=epsilon,
-                steps_per_update=n_steps_without_parameter_update,
-                learning_rate_exponent=learning_rate_exponent,
-                learning_rate_factor=learning_rate_factor,
-                rng_seed=rng_seed,
-            )
-            _finish(sg_dir)
-            trace.record("ESTIMATE_PARAMETERS_AND_REGIMES", chrom, time.time() - t_stage)
+
+            def _sg_stage(attempt):
+                _single_group_on_counts(
+                    pre_dir,
+                    sg_dir,
+                    chrom,
+                    group="control",
+                    mu=mu,
+                    sigma=sigma,
+                    u=u,
+                    n_particles=n_particles_single_group,
+                    epsilon=epsilon,
+                    steps_per_update=n_steps_without_parameter_update,
+                    learning_rate_exponent=learning_rate_exponent,
+                    learning_rate_factor=learning_rate_factor,
+                    rng_seed=rng_seed,
+                )
+                _finish(sg_dir)
+
+            if not _attempt(
+                _sg_stage,
+                trace=trace,
+                stage="ESTIMATE_PARAMETERS_AND_REGIMES",
+                chrom=chrom,
+                max_retries=max_retries,
+            ):
+                # Everything downstream needs theta: skip the chromosome
+                # (the reference's ignore drops this chrom's outputs too).
+                continue
         else:
             trace.record("ESTIMATE_PARAMETERS_AND_REGIMES", chrom, 0.0, skipped=True)
 
@@ -183,63 +254,96 @@ def run_two_group(
         infer_dir = out / "4_INFER"
         from hygeia_tpu.two_group.runner import infer_segment
 
+        any_unit_failed = False
         for batch in range(n_batches):
             # All seeds of a batch run vmapped in one device program.
             unit = infer_dir / f"unit_{chrom}_{batch}"
             if not _stage(unit, resume):
                 trace.record(f"INFER[{batch}]", chrom, 0.0, skipped=True)
                 continue
-            t_stage = time.time()
-            infer_segment(
-                data_dir=str(pre_dir),
-                single_group_dir=str(sg_dir),
-                results_dir=str(infer_dir),
+
+            def _infer_unit(attempt, batch=batch):
+                infer_segment(
+                    data_dir=str(pre_dir),
+                    single_group_dir=str(sg_dir),
+                    results_dir=str(infer_dir),
+                    chrom=chrom,
+                    batch=batch,
+                    seed=list(inference_seeds),
+                    segment_size=segment_size,
+                    buffer_size=buffer_size,
+                    mu=mu,
+                    sigma=sigma,
+                    minimum_duration=u,
+                    num_resampled_particles=(num_resampled_particles,),
+                    num_samples_backward=num_samples_backward,
+                    # Escalate like task.attempt resources (4_infer.nf:10):
+                    # halve the per-dispatch seed chunk on each retry so an
+                    # HBM OOM on the full vmapped seed batch backs off.
+                    max_seeds_per_call=max(1, len(inference_seeds) >> (attempt - 1)),
+                )
+                _finish(unit)
+
+            ok = _attempt(
+                _infer_unit,
+                trace=trace,
+                stage=f"INFER[{batch}]",
                 chrom=chrom,
-                batch=batch,
-                seed=list(inference_seeds),
-                segment_size=segment_size,
-                buffer_size=buffer_size,
-                mu=mu,
-                sigma=sigma,
-                minimum_duration=u,
-                num_resampled_particles=(num_resampled_particles,),
-                num_samples_backward=num_samples_backward,
+                max_retries=max_retries,
             )
-            _finish(unit)
-            trace.record(f"INFER[{batch}]", chrom, time.time() - t_stage)
+            any_unit_failed |= not ok
 
         # ---- 5: aggregate --------------------------------------------------
+        # A unit ignored after all retries must not kill the chromosome:
+        # aggregate whatever completed (skip_missing), like the reference's
+        # errorStrategy 'ignore' feeding AGGREGATE only successful tasks.
         agg_dir = out / "5_AGGREGATE_RESULTS" / str(chrom)
-        t_stage = time.time()
         if _stage(agg_dir, resume):
             from hygeia_tpu.pipeline.aggregate import aggregate_chromosome
 
-            aggregate_chromosome(
-                str(infer_dir),
-                str(agg_dir),
-                chrom,
-                seeds=len(inference_seeds),
-                num_particles=n_backward_total,
-                num_batches=n_batches,
-            )
-            _finish(agg_dir)
-            trace.record("AGGREGATE_RESULTS", chrom, time.time() - t_stage)
+            def _agg_stage(attempt):
+                aggregate_chromosome(
+                    str(infer_dir),
+                    str(agg_dir),
+                    chrom,
+                    seeds=len(inference_seeds),
+                    num_particles=n_backward_total,
+                    num_batches=n_batches,
+                    skip_missing=any_unit_failed,
+                )
+                _finish(agg_dir)
+
+            if not _attempt(
+                _agg_stage,
+                trace=trace,
+                stage="AGGREGATE_RESULTS",
+                chrom=chrom,
+                max_retries=max_retries,
+            ):
+                continue
 
         # ---- 6: DMPs -------------------------------------------------------
         dmp_dir = out / "6_GET_DMPS" / str(chrom)
-        t_stage = time.time()
         if _stage(dmp_dir, resume):
             from hygeia_tpu.pipeline.dmps import call_dmps
 
-            call_dmps(
-                str(agg_dir),
-                str(dmp_dir),
-                chrom,
-                n_regimes=R,
-                fdr_thresholds=fdr_thresholds,
+            def _dmp_stage(attempt):
+                call_dmps(
+                    str(agg_dir),
+                    str(dmp_dir),
+                    chrom,
+                    n_regimes=R,
+                    fdr_thresholds=fdr_thresholds,
+                )
+                _finish(dmp_dir)
+
+            _attempt(
+                _dmp_stage,
+                trace=trace,
+                stage="GET_DMPS",
+                chrom=chrom,
+                max_retries=max_retries,
             )
-            _finish(dmp_dir)
-            trace.record("GET_DMPS", chrom, time.time() - t_stage)
 
     trace.flush()
     return out
@@ -359,11 +463,26 @@ def _single_group_on_counts(
     hio.write_theta(sg_dir / f"theta_{chrom}.csv.gz", trace[-1])
 
 
+def read_sample_sheet(path):
+    """Parse the reference's sample-sheet CSV (header `id,file`; main.nf:21-24
+    splits it the same way) into [(sample_id, bed_path), ...]."""
+    import csv
+
+    rows = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            rows.append((row["id"].strip(), row["file"].strip()))
+    return rows
+
+
 def run_single_group(
     *,
     output_dir,
     chroms,
-    samples,  # list of (sample_id, preprocessed_dir) or BED inputs upstream
+    samples=None,  # [(sample_id, preprocessed_dir)] — already-preprocessed inputs
+    sample_sheet=None,  # CSV with id,file columns (raw BED inputs; main.nf:21-24)
+    raw_samples=None,  # [(sample_id, bed_path)] — raw BED inputs, pre-parsed
+    cpg_file_path=None,  # required with sample_sheet/raw_samples
     mu=(0.99, 0.01, 0.80, 0.20, 0.50, 0.50),
     sigma=(0.05, 0.05, 0.20, 0.20, 0.20, 0.2886751),
     u=3,
@@ -374,73 +493,186 @@ def run_single_group(
     learning_rate_factor=0.01,
     resume=True,
     rng_seed=0,
+    stub_run=False,
+    max_retries=5,
+    group="case",
 ):
-    """Single-group path (main.nf:20-30), mirroring the reference's two-pass
-    structure: ESTIMATE_PARAMETERS (modules/single_group/2) learns theta from
-    a prior init, then ESTIMATE_REGIMES (modules/single_group/3) re-runs the
-    engine with the estimated p/omega/kappa to produce regime probabilities,
-    then BED export (modules/single_group/4)."""
-    import pandas as pd
+    """Single-group path (main.nf:20-30): per (sample, chrom) —
+    SINGLE_GRP_PREPROCESS (modules/single_group/1_preprocess.nf, the sample's
+    BED preprocessed as the 'case' group) → ESTIMATE_PARAMETERS (module 2,
+    theta learned from a prior init) → ESTIMATE_REGIMES (module 3, fixed
+    learned parameters) → BED export with bgzip + tabix index (module 4).
 
-    from hygeia_tpu.single_group.model import theta_to_parameters
-    from hygeia_tpu.utils import io as hio
-
+    Inputs: EITHER `sample_sheet`/`raw_samples` + `cpg_file_path` (raw BED,
+    preprocessing runs as stage 1), OR `samples` = [(sample_id, dir)] of
+    already-preprocessed count dirs holding n_total_reads_{group}_{chrom}
+    files (`group` names which count files to read; our own preprocess stage
+    emits 'case', matching 1_preprocess.nf:29-35).
+    """
     out = Path(output_dir)
-    R = len(mu)
-    for sample_id, pre_dir in samples:
-        for chrom in chroms:
-            # Pass 1: parameter estimation.
-            est_dir = out / "2_ESTIMATE_PARAMETERS" / sample_id / str(chrom)
-            if _stage(est_dir, resume):
+    trace = StageTrace(out)
+    if not stub_run:
+        from hygeia_tpu.parallel.launcher import initialize_distributed
+
+        initialize_distributed()
+
+    if sample_sheet is not None and raw_samples is None:
+        raw_samples = read_sample_sheet(sample_sheet)
+
+    if stub_run:
+        _stub_single_group(
+            out, chroms, [s for s, _ in (raw_samples or samples or ())]
+        )
+        trace.flush()
+        return out
+
+    units = []  # (sample_id, chrom, pre_dir, group)
+    if raw_samples is not None:
+        from hygeia_tpu.pipeline.preprocess_bed import process_bed
+
+        for sample_id, bed_path in raw_samples:
+            for chrom in chroms:
+                pre_dir = out / "1_PREPROCESS" / sample_id / str(chrom)
+                if _stage(pre_dir, resume):
+
+                    def _pre_stage(attempt, sample_id=sample_id, bed_path=bed_path,
+                                   chrom=chrom, pre_dir=pre_dir):
+                        process_bed(
+                            cpg_file_path,
+                            pre_dir,
+                            chrom,
+                            case_data_paths=[bed_path],
+                            case_id_names=[sample_id],
+                        )
+                        _finish(pre_dir)
+
+                    if not _attempt(
+                        _pre_stage,
+                        trace=trace,
+                        stage="SINGLE_GRP_PREPROCESS",
+                        chrom=f"{sample_id}:{chrom}",
+                        max_retries=max_retries,
+                    ):
+                        continue
+                else:
+                    trace.record(
+                        "SINGLE_GRP_PREPROCESS", f"{sample_id}:{chrom}", 0.0,
+                        skipped=True,
+                    )
+                units.append((sample_id, chrom, pre_dir, "case"))
+    else:
+        for sample_id, pre_dir in samples:
+            for chrom in chroms:
+                units.append((sample_id, chrom, Path(pre_dir), group))
+
+    for sample_id, chrom, pre_dir, grp in units:
+        unit_tag = f"{sample_id}:{chrom}"
+
+        # Pass 1: parameter estimation (module 2).
+        est_dir = out / "2_ESTIMATE_PARAMETERS" / sample_id / str(chrom)
+        if _stage(est_dir, resume):
+
+            def _est_stage(attempt):
                 _single_group_on_counts(
-                    pre_dir,
-                    est_dir,
-                    chrom,
-                    group=sample_id,
-                    mu=mu,
-                    sigma=sigma,
-                    u=u,
-                    n_particles=n_particles,
-                    epsilon=epsilon,
+                    pre_dir, est_dir, chrom, group=grp, mu=mu, sigma=sigma,
+                    u=u, n_particles=n_particles, epsilon=epsilon,
                     steps_per_update=n_steps_without_parameter_update,
                     learning_rate_exponent=learning_rate_exponent,
                     learning_rate_factor=learning_rate_factor,
                     rng_seed=rng_seed,
-                    estimate_regimes=False,
-                    estimate_parameters=True,
+                    estimate_regimes=False, estimate_parameters=True,
                 )
                 _finish(est_dir)
-            # Pass 2: regime estimation with the learned parameters.
-            reg_dir = out / "3_ESTIMATE_REGIMES" / sample_id / str(chrom)
-            if _stage(reg_dir, resume):
+
+            if not _attempt(
+                _est_stage, trace=trace, stage="ESTIMATE_PARAMETERS",
+                chrom=unit_tag, max_retries=max_retries,
+            ):
+                continue
+        else:
+            trace.record("ESTIMATE_PARAMETERS", unit_tag, 0.0, skipped=True)
+
+        # Pass 2: regime estimation with the learned parameters (module 3).
+        reg_dir = out / "3_ESTIMATE_REGIMES" / sample_id / str(chrom)
+        if _stage(reg_dir, resume):
+
+            def _reg_stage(attempt):
+                from hygeia_tpu.utils import io as hio
+
                 theta = hio.read_theta(est_dir / f"theta_{chrom}.csv.gz")
                 _single_group_on_counts(
-                    pre_dir,
-                    reg_dir,
-                    chrom,
-                    group=sample_id,
-                    mu=mu,
-                    sigma=sigma,
-                    u=u,
-                    n_particles=n_particles,
-                    epsilon=epsilon,
+                    pre_dir, reg_dir, chrom, group=grp, mu=mu, sigma=sigma,
+                    u=u, n_particles=n_particles, epsilon=epsilon,
                     steps_per_update=n_steps_without_parameter_update,
                     learning_rate_exponent=learning_rate_exponent,
                     learning_rate_factor=learning_rate_factor,
                     rng_seed=rng_seed,
-                    estimate_regimes=True,
-                    estimate_parameters=False,
+                    estimate_regimes=True, estimate_parameters=False,
                     theta_fixed=theta,
                 )
                 _finish(reg_dir)
-            bed_dir = out / "4_BED" / sample_id
-            if _stage(bed_dir, resume):
+
+            if not _attempt(
+                _reg_stage, trace=trace, stage="ESTIMATE_REGIMES",
+                chrom=unit_tag, max_retries=max_retries,
+            ):
+                continue
+        else:
+            trace.record("ESTIMATE_REGIMES", unit_tag, 0.0, skipped=True)
+
+        # BED export + bgzip + tabix (module 4: 4_generate_single_group_bed_
+        # files.nf:24-30; output tree name matches its publishDir).
+        bed_dir = out / "4_SINGLE_GROUP_OUTPUT" / sample_id
+        bed_marker = bed_dir / f".done_{chrom}"
+        if not (resume and bed_marker.exists()):
+            bed_dir.mkdir(parents=True, exist_ok=True)
+
+            def _bed_stage(attempt):
                 from hygeia_tpu.pipeline.bed import make_bed
 
                 make_bed(
                     chrom,
                     reg_dir / f"regime_probabilities_{chrom}.csv.gz",
-                    bed_dir / f"{sample_id}_{chrom}.bed",
+                    bed_dir / f"{sample_id}_regimes_{chrom}.bed",
+                    compress=True,
                 )
-                _finish(bed_dir)
+                bed_marker.write_text(json.dumps({"t": time.time()}))
+
+            _attempt(
+                _bed_stage, trace=trace, stage="GENERATE_SINGLE_GROUP_BED_FILES",
+                chrom=unit_tag, max_retries=max_retries,
+            )
+        else:
+            trace.record(
+                "GENERATE_SINGLE_GROUP_BED_FILES", unit_tag, 0.0, skipped=True
+            )
+
+    trace.flush()
     return out
+
+
+def _stub_single_group(out, chroms, sample_ids):
+    """Empty-output DAG wiring for the single-group path (the stub blocks of
+    modules/single_group/*.nf)."""
+    for sample_id in sample_ids:
+        for chrom in chroms:
+            for stage, names in (
+                (f"1_PREPROCESS/{sample_id}/{chrom}",
+                 (f"positions_{chrom}.txt.gz",
+                  f"n_total_reads_case_{chrom}.txt.gz",
+                  f"n_methylated_reads_case_{chrom}.txt.gz",
+                  f"cpg_sites_merged_{chrom}.txt.gz")),
+                (f"2_ESTIMATE_PARAMETERS/{sample_id}/{chrom}",
+                 (f"theta_trace_{chrom}.csv.gz", f"p_{chrom}.csv.gz",
+                  f"kappa_{chrom}.csv.gz", f"omega_{chrom}.csv.gz",
+                  f"theta_{chrom}.csv.gz")),
+                (f"3_ESTIMATE_REGIMES/{sample_id}/{chrom}",
+                 (f"regime_probabilities_{chrom}.csv.gz",)),
+                (f"4_SINGLE_GROUP_OUTPUT/{sample_id}",
+                 (f"{sample_id}_regimes_{chrom}.bed.gz",
+                  f"{sample_id}_regimes_{chrom}.bed.gz.tbi")),
+            ):
+                d = out / stage
+                d.mkdir(parents=True, exist_ok=True)
+                for name in names:
+                    (d / name).touch()

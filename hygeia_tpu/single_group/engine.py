@@ -414,9 +414,19 @@ def _prepare_engine(
             adam_v = jnp.where(do_update, v2, adam_v)
             adam_iter = adam_iter + jnp.where(do_update, 1, 0)
             grad_prev = jnp.where(do_update, grad_curr, grad_prev)
+            # Under shard_map the rebuilt tables derive partly from replicated
+            # model constants (unvarying) while the carried tables are
+            # varying; promote the rebuild branch so both cond branches have
+            # identical VMA types (utils/vma.py).
+            from hygeia_tpu.utils.vma import pcast_varying as _pcast
+
             tables = jax.lax.cond(
                 do_update,
-                lambda th: build_tables(model, th),
+                lambda th: jax.tree.map(
+                    lambda n, o: _pcast(n, tuple(jax.typeof(o).vma)),
+                    build_tables(model, th),
+                    tables,
+                ),
                 lambda th: tables,
                 theta,
             )
@@ -482,17 +492,26 @@ def run_online_combined_inference(
     emissions,  # (T, R) emission log-lik table (ops/emissions)
     config: EngineConfig,
     weight_dtype=jnp.float32,
+    vma_axes=(),
 ):
     """Run the combined algorithm over T sites in one scan.
 
     Mirrors OnlineCombinedInference::run (OnlineCombinedInference.h:48-118):
     initialise, then per step: smc.iterate -> evaluateBackwardKernels ->
     smoothing.update -> parameterEstimation.update.
+
+    vma_axes: mesh axis names when running under shard_map with the VMA
+    checker on — the deterministic cold-start carry is promoted to varying
+    over them (utils/vma.py).
     """
     T = emissions.shape[0]
     carry0, step, shift0 = _prepare_engine(
         key, model, theta_init, emissions, config, weight_dtype
     )
+    if vma_axes:
+        from hygeia_tpu.utils.vma import pcast_varying
+
+        carry0, shift0 = pcast_varying((carry0, shift0), vma_axes)
     ts = jnp.arange(1, T, dtype=jnp.int32)
     carry_f, (theta_trace, shifts) = jax.lax.scan(step, carry0, ts)
     return _result_from_carry(

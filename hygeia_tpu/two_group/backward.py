@@ -95,7 +95,11 @@ def backward_simulation(
     idx = jax.random.categorical(k_last, last_lw, shape=(B,))
     last_particle = State(*(f[T - 1][idx] for f in particles))  # fields (B,)
 
-    rho_c_hist, rho_k_hist = _hazard_history(params, particles)
+    # Only rows 0..T-2 feed the backward kernel (the terminal particle is
+    # drawn from the final weights above), so gather hazards for those rows
+    # only — one chunk-row of gather_rho work saved per call.
+    parts_head = State(*(f[: T - 1] for f in particles))
+    rho_c_hist, rho_k_hist = _hazard_history(params, parts_head)
 
     def step(carry, inputs):
         nxt = carry  # State of (B,) — particle at time t+1
@@ -117,15 +121,14 @@ def backward_simulation(
     # Reverse over t = T-2 .. 0; the transition evaluated at time t uses the
     # particle sampled for t+1 (step index never hits the t=0 special case).
     keys = jax.random.split(key, T - 1)
-    parts_head = State(*(f[: T - 1] for f in particles))
     _, trajectory = jax.lax.scan(
         step,
         last_particle,
         (
             log_weights[: T - 1],
             parts_head,
-            rho_c_hist[: T - 1],
-            rho_k_hist[: T - 1],
+            rho_c_hist,
+            rho_k_hist,
             keys,
         ),
         reverse=True,

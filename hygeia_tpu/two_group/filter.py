@@ -38,6 +38,12 @@ from hygeia_tpu.two_group.proposal import expand_states, initial_states, num_chi
 _NEG_INF = -jnp.inf
 
 
+# Cold-start filter state is built from deterministic proposal grids and
+# replicated tables (unvarying under shard_map); promote it explicitly so
+# the VMA checker can stay on (see utils/vma.py).
+from hygeia_tpu.utils.vma import pcast_varying as _pcast_varying
+
+
 class FilterResult(NamedTuple):
     log_weights: jnp.ndarray  # (T, N) per-step-normalised log weights
     particles: State  # pytree of five (T, N) int32 arrays. Kept as separate
@@ -63,6 +69,7 @@ def run_filter(
     init_state=None,
     use_init=None,
     unroll: int = 8,
+    vma_axes=(),
 ) -> FilterResult:
     """Run the filter over T sites; returns full weight/particle history.
 
@@ -110,6 +117,9 @@ def run_filter(
     )
     cold_shift = logsumexp(cold_lw)
     cold_lw = cold_lw - cold_shift
+    cold_lw, cold_states, cold_shift = _pcast_varying(
+        (cold_lw, cold_states, cold_shift), vma_axes
+    )
 
     if init_state is None:
         init_lw, init_states, init_shift = cold_lw, cold_states, cold_shift
@@ -231,6 +241,7 @@ def run_filter_final(
     multinomial_resampling: bool = False,
     weight_dtype=jnp.float32,
     phantom_regime=None,
+    vma_axes=(),
 ):
     """Cold-start filter that returns ONLY the final (log_weights, particles).
 
@@ -255,6 +266,7 @@ def run_filter_final(
         phantom_regime,
     )
     lw = lw - logsumexp(lw)
+    lw, states = _pcast_varying((lw, states), vma_axes)
 
     def step(carry, inputs):
         prev_lw, prev_particles = carry

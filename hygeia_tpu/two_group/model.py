@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hygeia_tpu.ops.distributions import (
@@ -177,8 +178,12 @@ def _lookup_log_p(log_p, r_prev, r_nxt, R):
     safe = jnp.where(jnp.isfinite(log_p), log_p, _SAFE_NEG)
     oh_prev = (r_prev[..., None] == regs).astype(safe.dtype)
     oh_nxt = (r_nxt[..., None] == regs).astype(safe.dtype)
-    # tmp[..., i] = safe[i, r_nxt[...]]
-    tmp = jnp.einsum("...j,ij->...i", oh_nxt, safe)
+    # tmp[..., i] = safe[i, r_nxt[...]]. HIGHEST precision keeps the MXU from
+    # rounding the f32 table through bf16 passes — the one-hot operand makes
+    # the full-precision product exact (one nonzero term per output).
+    tmp = jnp.einsum(
+        "...j,ij->...i", oh_nxt, safe, precision=jax.lax.Precision.HIGHEST
+    )
     val = jnp.sum(oh_prev * tmp, axis=-1)
     # All-zero one-hot rows (padding) produce 0 with no mass selected; send
     # them to -inf along with restored sentinel values.

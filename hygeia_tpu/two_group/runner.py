@@ -65,12 +65,27 @@ def infer_segment(
     robust_beta=0.05,
     trace_dir=None,
     weight_dtype=jnp.float32,
+    marginal=False,
+    marginal_epsilon=0.01,
+    marginal_window=64,
+    max_seeds_per_call=None,
 ):
     """Run inference for one (chrom, batch, seed) work unit.
 
     robust=True swaps the BetaBinomial emissions for the beta-divergence
     score (the case_control_robust_regime_model variant, default beta 0.05
     per case_control_robust_regime_model.py:62).
+
+    marginal=True replaces the store-everything filter + backward simulation
+    with the adaptive-lag marginal filter (two_group/marginal.py — the
+    reference's particle_filter_deterministic_proposal.py +
+    smoothing_functions.py pair): O(1) memory in segment length, writing the
+    split/regime probability outputs directly from smoothing functionals.
+    No backward-particle archives are produced in this mode.
+
+    max_seeds_per_call caps the vmapped seed chunk per device dispatch (on
+    top of the HBM-budget estimate) — the orchestrator lowers it on retry
+    attempts the way Nextflow escalates task.attempt resources.
 
     trace_dir: if set, the device computation runs under jax.profiler.trace
     (viewable in TensorBoard/XProf) — the engine-level analog of the
@@ -165,19 +180,38 @@ def infer_segment(
     times = {s: {} for s in seeds}
     times_backward = {s: {} for s in seeds}
     hbm_budget = float(os.environ.get("HYGEIA_HBM_BUDGET_GB", 8.0)) * 2**30
+    from contextlib import nullcontext
+
+    def _maybe_trace():
+        return jax.profiler.trace(str(trace_dir)) if trace_dir else nullcontext()
+
     for M in num_resampled_particles:
         N = M * (2 * R + R * R)
         # The filter history costs ~T*N*(4B weights + 5*4B particles) per
         # seed; chunk the vmapped seeds so history + temps fit in HBM
         # (full 110k-site segments with N=2400 take ~6.3 GB per seed).
-        per_seed = T * N * 24
+        per_seed = T * N * 24 if not marginal else N * N * 8
         seeds_per_call = max(1, int(hbm_budget // max(per_seed, 1)))
+        if max_seeds_per_call is not None:
+            seeds_per_call = min(seeds_per_call, max_seeds_per_call)
 
+        if marginal:
+            _run_marginal_m(
+                path, seeds, seeds_per_call, params, E_c, E_k, M, N, R, ret,
+                marginal_epsilon, marginal_window, weight_dtype,
+                all_log_norm, times, _maybe_trace,
+            )
+            continue
+
+        # Seeds are vmapped: every Monte-Carlo replicate of this segment
+        # runs in one device program (the reference launches one process
+        # per seed; `each inference_seed`, modules/two_group/4_infer.nf:28).
+        # Filter and backward are two dispatches so each is timed separately
+        # (the reference's optimal_time_{seed}.txt vs optimal_time_backward_
+        # {seed}.txt, run_inference_two_groups.py:286-296); the filter history
+        # stays on device between them.
         @jax.jit
-        def run_m(keys):
-            # Seeds are vmapped: every Monte-Carlo replicate of this segment
-            # runs in one device program (the reference launches one process
-            # per seed; `each inference_seed`, modules/two_group/4_infer.nf:28).
+        def filter_m(keys):
             def one(key):
                 res = run_filter(
                     key,
@@ -189,41 +223,50 @@ def infer_segment(
                     multinomial_resampling=multinomial,
                     weight_dtype=weight_dtype,
                 )
-                traj = backward_simulation(
-                    jax.random.fold_in(key, 1),
-                    params,
-                    res.log_weights,
-                    res.particles,
-                    num_samples_backward,
-                )
-                split, regime = smoothing_functionals(traj, R)
-                return res.log_normalizing_constant, traj, split, regime
+                return res.log_normalizing_constant, res.log_weights, res.particles
 
             return jax.vmap(one)(keys)
+
+        @jax.jit
+        def backward_m(keys, lw, particles):
+            def one(key, lw_i, parts_i):
+                traj = backward_simulation(
+                    key, params, lw_i, parts_i, num_samples_backward
+                )
+                split, regime = smoothing_functionals(traj, R)
+                return traj, split, regime
+
+            return jax.vmap(one)(keys, lw, particles)
 
         outs = {}
         for c0 in range(0, len(seeds), seeds_per_call):
             chunk = seeds[c0 : c0 + seeds_per_call]
-            t0 = time.time()
             keys = jnp.stack([jax.random.PRNGKey(s) for s in chunk])
-            if trace_dir:
-                with jax.profiler.trace(str(trace_dir)):
-                    log_z_v, traj_v, split_v, regime_v = run_m(keys)
-                    jax.block_until_ready(log_z_v)
-            else:
-                log_z_v, traj_v, split_v, regime_v = run_m(keys)
-            elapsed = time.time() - t0
+            bkeys = jnp.stack(
+                [jax.random.fold_in(jax.random.PRNGKey(s), 1) for s in chunk]
+            )
+            with _maybe_trace():
+                t0 = time.time()
+                log_z_v, lw_v, parts_v = jax.block_until_ready(filter_m(keys))
+                t_filter = time.time() - t0
+                t0 = time.time()
+                traj_v, split_v, regime_v = jax.block_until_ready(
+                    backward_m(bkeys, lw_v, parts_v)
+                )
+                t_backward = time.time() - t0
             for i, s in enumerate(chunk):
                 outs[s] = (
                     float(log_z_v[i]),
                     np.asarray(traj_v[i]),
                     np.asarray(split_v[i]),
                     np.asarray(regime_v[i]),
-                    elapsed / len(chunk),
+                    t_filter / len(chunk),
+                    t_backward / len(chunk),
                 )
         for s in seeds:
-            log_z, traj, split_s, regime_s, t_s = outs[s]
-            times[s][N] = t_s
+            log_z, traj, split_s, regime_s, t_f, t_b = outs[s]
+            times[s][N] = t_f
+            times_backward[s][N] = t_b
             all_log_norm[s][N] = log_z
             np.savez_compressed(
                 os.path.join(path, f"optimal_backward_particles_merged_state_{N}_{s}"),
@@ -244,7 +287,22 @@ def infer_segment(
                 os.path.join(path, f"optimal_regime_probs_{N}_{s}"), regime_s
             )
 
+    flags = {
+        "chrom": str(chrom), "batch": batch, "segment_size": segment_size,
+        "buffer_size": buffer_size, "mu": list(map(float, mu)),
+        "sigma": list(map(float, np.asarray(sigma, np.float64))),
+        "minimum_duration": minimum_duration, "omega_case": omega_case,
+        "merge_log_prob": float(merge_log_prob), "split_prob": split_prob,
+        "num_resampled_particles": list(num_resampled_particles),
+        "num_samples_backward": num_samples_backward,
+        "multinomial": multinomial, "robust": robust, "marginal": marginal,
+    }
     for s in seeds:
+        # The reference serialises its absl flags per run
+        # (run_inference_two_groups.py:96-108).
+        with open(os.path.join(path, f"flags{s}.txt"), "w") as f:
+            for k, v in {**flags, "seed": s}.items():
+                print(f"--{k}={v}", file=f)
         with open(
             os.path.join(path, f"log_normalizing_constants_optimal_{s}.txt"), "w"
         ) as f:
@@ -254,3 +312,53 @@ def infer_segment(
         with open(os.path.join(path, f"optimal_time_backward_{s}.txt"), "w") as f:
             print(times_backward[s], file=f)
     return all_log_norm if len(seeds) > 1 else all_log_norm[seeds[0]]
+
+
+def _run_marginal_m(
+    path, seeds, seeds_per_call, params, E_c, E_k, M, N, R, ret,
+    epsilon, window, weight_dtype, all_log_norm, times, maybe_trace,
+):
+    """Marginal-mode inner loop for one particle budget M: adaptive-lag
+    smoothing functionals written as optimal_split_probs / optimal_regime_
+    probs npz (same names/shapes the backward-simulation path produces)."""
+    from hygeia_tpu.two_group.marginal import run_marginal_filter
+
+    @jax.jit
+    def run_m(keys):
+        def one(key):
+            res = run_marginal_filter(
+                key,
+                params,
+                E_c,
+                E_k,
+                M,
+                epsilon=epsilon,
+                smoothing_window=window,
+                weight_dtype=weight_dtype,
+            )
+            return res.log_normalizing_constant, res.functionals, res.spill_count
+
+        return jax.vmap(one)(keys)
+
+    for c0 in range(0, len(seeds), seeds_per_call):
+        chunk = seeds[c0 : c0 + seeds_per_call]
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in chunk])
+        with maybe_trace():
+            t0 = time.time()
+            log_z_v, fn_v, spill_v = jax.block_until_ready(run_m(keys))
+            elapsed = time.time() - t0
+        for i, s in enumerate(chunk):
+            times[s][N] = elapsed / len(chunk)
+            all_log_norm[s][N] = float(log_z_v[i])
+            fn = np.asarray(fn_v[i])
+            np.savez_compressed(
+                os.path.join(path, f"optimal_split_probs_{N}_{s}"), fn[ret, 0]
+            )
+            np.savez_compressed(
+                os.path.join(path, f"optimal_regime_probs_{N}_{s}"), fn[ret, 1:]
+            )
+            if int(spill_v[i]):
+                print(
+                    f"marginal filter seed {s}: {int(spill_v[i])} pending times "
+                    "force-finalised (smoothing window spill)"
+                )

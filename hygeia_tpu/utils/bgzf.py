@@ -34,7 +34,8 @@ def _compress_block(data: bytes) -> bytes:
     """One complete BGZF block (gzip member with the BC/BSIZE extra field)."""
     deflater = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate
     payload = deflater.compress(data) + deflater.flush()
-    bsize = len(payload) + 25 + 1  # header(12) + XLEN(6) + trailer(8) - 1
+    # BSIZE stores (total block size - 1); total = header(18) + payload + trailer(8).
+    bsize = len(payload) + 18 + 8 - 1
     if bsize >= 1 << 16:
         raise ValueError("BGZF block overflow (incompressible oversize input)")
     header = struct.pack(

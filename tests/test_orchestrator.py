@@ -120,10 +120,13 @@ def test_run_single_group_pipeline(tmp_path):
 
     pre = tmp_path / "pre"
     pre.mkdir()
+    # Our preprocess stage emits the sample's counts as the 'case' group
+    # (modules/single_group/1_preprocess.nf:29-35 passes the sample as
+    # --case_data_path).
     hio.write_count_matrix(pre / "positions_c1.txt.gz", np.arange(1, T + 1) * 17)
-    hio.write_count_matrix(pre / "n_total_reads_s1_c1.txt.gz", n_tot)
+    hio.write_count_matrix(pre / "n_total_reads_case_c1.txt.gz", n_tot)
     hio.write_count_matrix(
-        pre / "n_methylated_reads_s1_c1.txt.gz", np.asarray(sim.n_methylated)
+        pre / "n_methylated_reads_case_c1.txt.gz", np.asarray(sim.n_methylated)
     )
 
     out = tmp_path / "out"
@@ -141,12 +144,190 @@ def test_run_single_group_pipeline(tmp_path):
     assert (out / "2_ESTIMATE_PARAMETERS" / "s1" / "c1" / "theta_c1.csv.gz").exists()
     reg = pd.read_csv(out / "3_ESTIMATE_REGIMES" / "s1" / "c1" / "regime_probabilities_c1.csv.gz")
     assert reg.shape == (T, R + 1)
-    bed = pd.read_csv(out / "4_BED" / "s1" / "s1_c1.bed", sep="\t", header=None)
+    # Module-4 parity: bgzip-compressed BED + tabix index, gzip-readable.
+    import gzip
+
+    bed_gz = out / "4_SINGLE_GROUP_OUTPUT" / "s1" / "s1_regimes_c1.bed.gz"
+    assert bed_gz.exists() and (bed_gz.parent / (bed_gz.name + ".tbi")).exists()
+    with gzip.open(bed_gz, "rt") as f:
+        bed = pd.read_csv(f, sep="\t", header=None)
     assert bed.shape[0] == T and bed.shape[1] == 9
     # Regime recovery from the two-pass flow.
     est = reg[[f"regime_{i+1}" for i in range(R)]].to_numpy().argmax(1)
     acc = np.mean(est == np.asarray(sim.r))
     assert acc > 0.6, acc
+    # The tabix index resolves region queries correctly.
+    from hygeia_tpu.utils.tabix import TabixFile
+
+    pos = np.arange(1, T + 1) * 17
+    lo, hi = int(pos[100]) - 1, int(pos[140])
+    hits = list(TabixFile(str(bed_gz)).query("c1", lo, hi))
+    expected = ((pos - 1 < hi) & (pos + 1 > lo)).sum()
+    assert len(hits) == expected, (len(hits), expected)
+
+
+def _write_two_group_fixture(tmp_path, T=170, seed=13):
+    """Simulated preprocessed two-group inputs for one tiny chromosome."""
+    rng = np.random.default_rng(seed)
+    Pd = rng.dirichlet(np.ones(R - 1), size=R)
+    Pfull = np.zeros((R, R))
+    for r in range(R):
+        Pfull[r, [c for c in range(R) if c != r]] = Pd[r]
+    with np.errstate(divide="ignore"):
+        log_p = np.log(Pfull)
+    params = make_params(
+        mu=MU, sigma=SIGMA, p_softmax_control=log_p,
+        omega_logit_control=np.asarray(logit(jnp.full((R,), 0.9))),
+        omega_case=0.8, kappa_control=np.full(R, 2.0), kappa_case=np.full(R, 2.0),
+        merge_log_prob=np.log(0.1), split_prob=0.01, minimum_duration=3,
+        d_max=512, dtype=jnp.float64,
+    )
+    n_c = rng.poisson(30, size=(T, 2)).astype(float)
+    n_k = rng.poisson(30, size=(T, 2)).astype(float)
+    sim = simulate(jax.random.PRNGKey(5), params, n_c, n_k)
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    hio.write_count_matrix(pre / "positions_cF.txt.gz", np.arange(1, T + 1) * 41)
+    hio.write_count_matrix(pre / "n_total_reads_control_cF.txt.gz", n_c)
+    hio.write_count_matrix(pre / "n_total_reads_case_cF.txt.gz", n_k)
+    hio.write_count_matrix(
+        pre / "n_methylated_reads_control_cF.txt.gz", np.asarray(sim.obs_control)
+    )
+    hio.write_count_matrix(
+        pre / "n_methylated_reads_case_cF.txt.gz", np.asarray(sim.obs_case)
+    )
+    return pre
+
+
+def test_infer_unit_failure_is_retried_then_ignored(tmp_path, monkeypatch):
+    """errorStrategy retry/ignore (nextflow.config:23-27): an INFER unit that
+    fails every attempt must not kill the chromosome — later batches still
+    aggregate, a transiently-failing unit succeeds on retry, and trace.tsv
+    records attempts."""
+    from hygeia_tpu.pipeline.orchestrator import run_two_group
+    import hygeia_tpu.two_group.runner as runner_mod
+
+    pre = _write_two_group_fixture(tmp_path)
+
+    real_infer = runner_mod.infer_segment
+    calls = {"batch0": 0}
+
+    def flaky_infer(**kw):
+        if kw["batch"] == 1:
+            raise ValueError("injected persistent failure")
+        if kw["batch"] == 0:
+            calls["batch0"] += 1
+            if calls["batch0"] == 1:
+                raise RuntimeError("injected transient failure")
+        return real_infer(**kw)
+
+    monkeypatch.setattr(runner_mod, "infer_segment", flaky_infer)
+
+    out = tmp_path / "out"
+    run_two_group(
+        output_dir=out,
+        chroms=["cF"],
+        preprocessed_dir=pre,
+        segment_size=60,
+        buffer_size=25,
+        inference_seeds=(0,),
+        num_resampled_particles=6,
+        num_samples_backward=8,
+        n_particles_single_group=30,
+        max_retries=1,
+    )
+
+    # Pipeline completed through DMPs despite the dead unit.
+    assert (out / "6_GET_DMPS" / "cF" / "dmp_0.05.csv").exists()
+
+    trace = pd.read_csv(out / "trace.tsv", sep="\t")
+    row1 = trace[trace.stage == "INFER[1]"].iloc[0]
+    assert row1.status.startswith("ignored"), row1
+    assert row1.attempts == 2  # first try + 1 retry
+    row0 = trace[trace.stage == "INFER[0]"].iloc[0]
+    assert row0.status == "ok" and row0.attempts == 2, row0
+
+    # Aggregation skipped the missing batch but kept batches 0 and 2:
+    # batch 0 returns sites 1..60, batch 2 sites 121..170.
+    split = pd.read_csv(
+        out / "5_AGGREGATE_RESULTS" / "cF" / "split_probs_cF.csv.gz", sep="\t"
+    )
+    assert len(split) == 60 + 50, len(split)
+
+
+def test_single_group_sample_sheet_end_to_end(tmp_path):
+    """Raw BED + sample sheet through the full single-group DAG
+    (main.nf:20-30): preprocess -> estimate -> regimes -> indexed BED."""
+    from hygeia_tpu.pipeline.orchestrator import run_single_group
+
+    T = 80
+    rng = np.random.default_rng(3)
+    pos = np.arange(1, T + 1) * 23  # 1-based CpG starts
+    cpg = tmp_path / "cpg.tsv"
+    pd.DataFrame({"seqID": "7", "start": pos}).to_csv(cpg, sep="\t", index=False)
+
+    header = [
+        "chr", "start", "end", "name", "score", "strand", "thickStart",
+        "thickEnd", "itemRgb", "coverage", "percent_methylated",
+        "ref_genotype", "sample_genotype", "quality_score",
+    ]
+    cov = rng.poisson(25, size=T) + 1
+    pct = np.where(rng.random(T) < 0.5, 95.0, 5.0)
+    bed = tmp_path / "sampleA.bed"
+    with open(bed, "w") as f:
+        f.write("\t".join(header) + "\n")
+        for i in range(T):
+            f.write(
+                "\t".join(
+                    str(x)
+                    for x in [
+                        "7", pos[i] - 1, pos[i], "n", 0, "+", 0, 0, ".",
+                        cov[i], pct[i], "CG", "CG", 30,
+                    ]
+                )
+                + "\n"
+            )
+    sheet = tmp_path / "samples.csv"
+    sheet.write_text(f"id,file\nsampleA,{bed}\n")
+
+    out = tmp_path / "out"
+    cli_main(
+        [
+            "run",
+            "--output_dir", str(out),
+            "--chroms", "7",
+            "--sample_sheet", str(sheet),
+            "--cpg_file_path", str(cpg),
+            "--n_particles", "40",
+        ]
+    )
+    assert (
+        out / "1_PREPROCESS" / "sampleA" / "7" / "n_total_reads_case_7.txt.gz"
+    ).exists()
+    assert (out / "2_ESTIMATE_PARAMETERS" / "sampleA" / "7" / "theta_7.csv.gz").exists()
+    bed_gz = out / "4_SINGLE_GROUP_OUTPUT" / "sampleA" / "sampleA_regimes_7.bed.gz"
+    assert bed_gz.exists() and (bed_gz.parent / (bed_gz.name + ".tbi")).exists()
+    import gzip
+
+    with gzip.open(bed_gz, "rt") as f:
+        assert sum(1 for _ in f) == T
+
+
+def test_single_group_stub_run(tmp_path):
+    out = tmp_path / "stub_sg"
+    sheet = tmp_path / "samples.csv"
+    sheet.write_text("id,file\ns1,/nonexistent.bed\n")
+    cli_main(
+        [
+            "run", "--stub_run",
+            "--output_dir", str(out),
+            "--chroms", "c3",
+            "--sample_sheet", str(sheet),
+        ]
+    )
+    assert (out / "4_SINGLE_GROUP_OUTPUT" / "s1" / "s1_regimes_c3.bed.gz").exists()
+    assert (out / "2_ESTIMATE_PARAMETERS" / "s1" / "c3" / "theta_c3.csv.gz").exists()
+    assert (out / "trace.tsv").exists()
 
 
 def test_stub_run(tmp_path):

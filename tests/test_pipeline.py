@@ -125,6 +125,15 @@ def test_full_pipeline(pipeline_dirs):
     p1 = hio.read_positions(results / "chrom_t_1" / "positions.csv.gz")
     assert len(p0) == seg and len(p1) == T - seg
     assert p0[-1] < p1[0]
+    # Per-run artifacts: serialized flags (run_inference_two_groups.py:96-108)
+    # and separately-timed filter/backward passes (:286-296) — the backward
+    # timing dict must actually be populated.
+    d0 = results / "chrom_t_0"
+    assert f"--seed=0" in (d0 / "flags0.txt").read_text()
+    tb = eval((d0 / "optimal_time_backward_0.txt").read_text())
+    tf_ = eval((d0 / "optimal_time_0.txt").read_text())
+    assert tb and all(v > 0 for v in tb.values()), tb
+    assert tf_ and all(v > 0 for v in tf_.values()), tf_
 
     # ---- aggregate --------------------------------------------------------
     agg = root / "agg"
@@ -179,6 +188,47 @@ def test_full_pipeline(pipeline_dirs):
         true_split = dict(zip(pos, true_states[:, 0] == 0))
         frac_true = np.mean([true_split[p] for p in dmp["position"]])
         assert frac_true > 0.5, frac_true
+
+
+def test_infer_marginal_cli(pipeline_dirs):
+    """`infer --marginal`: the adaptive-lag constant-memory path writes the
+    split/regime probability outputs from smoothing functionals (no backward
+    particle archives) with the same names/shapes as the trajectory path."""
+    root, data_dir, sg_dir, true_states = pipeline_dirs
+    results = root / "results_marginal"
+    seg, buf, M = 150, 30, 12
+    N = M * (2 * R + R * R)
+    cli_main(
+        [
+            "infer", "--marginal",
+            "--data_dir", str(data_dir),
+            "--single_group_dir", str(sg_dir),
+            "--results_dir", str(results),
+            "--chrom", "t",
+            "--batch", "0",
+            "--seed", "0",
+            "--segment_size", str(seg),
+            "--buffer_size", str(buf),
+            "--num_resampled_particles", str(M),
+            "--marginal_window", "48",
+        ]
+    )
+    d = results / "chrom_t_0"
+    split = np.load(d / f"optimal_split_probs_{N}_0.npz")["arr_0"]
+    regime = np.load(d / f"optimal_regime_probs_{N}_0.npz")["arr_0"]
+    assert split.shape == (seg,) and regime.shape == (seg, 2 * R)
+    assert np.all(split >= 0) and np.all(split <= 1.01)
+    # Control-regime marginals sum to ~1 per site (rows finalised by the
+    # all-R epsilon rule are exact sums; forced spills stay normalised too).
+    np.testing.assert_allclose(regime[:, :R].sum(axis=1), 1.0, atol=1e-3)
+    # Functional agreement with the simulated truth: split probability must
+    # be higher at truly-split sites than merged ones on average.
+    truth_split = true_states[:seg, 0] == 0
+    if truth_split.any() and (~truth_split).any():
+        assert split[truth_split].mean() > split[~truth_split].mean()
+    # No trajectory archives in marginal mode.
+    assert not (d / f"optimal_backward_particles_merged_state_{N}_0.npz").exists()
+    assert "--marginal=True" in (d / "flags0.txt").read_text()
 
 
 def test_make_bed_file(tmp_path):
