@@ -74,6 +74,16 @@ def collapse_strands(bed: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values("start").reset_index(drop=True)
 
 
+def _round_half_away(x):
+    """Round half AWAY from zero on non-negative values.
+
+    The reference's `.round()` is polars 1.8 == Rust `f64::round`, which
+    rounds .5 away from zero; numpy's np.round is banker's rounding (half to
+    even) and disagrees at every exact .5 (e.g. cov*pct/100 = 2.5: reference
+    3, np.round 2). Counts are non-negative so floor(x + 0.5) suffices."""
+    return np.floor(np.asarray(x, float) + 0.5)
+
+
 def read_bed_sample(path, chromosome):
     """Read one BED methylation file -> collapsed per-CpG counts frame."""
     bed = pd.read_csv(
@@ -95,8 +105,10 @@ def read_bed_sample(path, chromosome):
     return pd.DataFrame(
         {
             "Pos0": collapsed["start"].astype(np.int64),
-            "methylated": np.round(cov * pct / 100.0).astype(np.int64),
-            "unmethylated": np.round(cov * (100.0 - pct) / 100.0).astype(np.int64),
+            "methylated": _round_half_away(cov * pct / 100.0).astype(np.int64),
+            "unmethylated": _round_half_away(
+                cov * (100.0 - pct) / 100.0
+            ).astype(np.int64),
         }
     )
 
@@ -125,6 +137,14 @@ def process_bed(
     def _add_group(paths, names):
         nonlocal merged
         for path, name in zip(paths, names):
+            if not os.path.exists(path):
+                # The reference logs the missing file and keeps the sample as
+                # all-null columns (process_sample_data :288-296) -> zeros
+                # after nan_to_num; the column slot must exist so later
+                # samples keep their positions in the interleaved layout.
+                merged[f"{name}:non_conv"] = np.nan
+                merged[f"{name}:conv"] = np.nan
+                continue
             sample = read_bed_sample(path, chromosome)
             sample = sample.rename(
                 columns={
