@@ -60,23 +60,19 @@ def _hazard_history(params: TwoGroupParams, particles: State, chunk: int = 32):
 
 
 def _categorical_rows(key, logits):
-    """One categorical draw per row of (B, N) logits via inverse-CDF.
+    """One categorical draw per row of (B, N) logits.
 
-    Exactly equivalent in distribution to jax.random.categorical, but costs
-    B uniforms instead of a (B, N) Gumbel tensor — threefry bit generation
-    at (B, N) per scan step was a measurable slice of backward-pass time
-    (CLAUDE.md perf rule 8). Rows with no finite logit return N-1 (never the
-    case for normalised filter weights)."""
-    b, n = logits.shape
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    safe = jnp.isfinite(m)
-    p = jnp.where(safe, jnp.exp(logits - jnp.where(safe, m, 0.0)), 0.0)
-    q = jnp.cumsum(p, axis=-1)
-    u = jax.random.uniform(key, (b, 1), dtype=q.dtype) * q[:, -1:]
-    # side="right": first q strictly above u; zero-probability slots are
-    # never hit, even at exact CDF boundaries.
-    idx = jnp.sum((q <= u).astype(jnp.int32), axis=-1)
-    return jnp.clip(idx, 0, n - 1)
+    MEASURED ON CHIP (tools/bisect_backward.py, T=4096 x 8 units, B=25,
+    N=2400): jax.random.categorical's Gumbel argmax runs the whole backward
+    scan in 0.64 s where an inverse-CDF comparison-count (cumsum + count)
+    took 1.8 s — the (B, N) cumsum serialises along the 2400-wide particle
+    axis while Gumbel+max reduces in parallel; threefry bits at (B, N) per
+    step are NOT the bottleneck at this shape. (The inverse-CDF trick DOES
+    win for resampling-style draws of M values from one weight row — see
+    ops/resampling._count_below — where the cumsum is reused across draws.
+    This was the round-1 13.5k-vs-24.8k sites/s regression: VERDICT item 1.)
+    """
+    return jax.random.categorical(key, logits, axis=-1)
 
 
 def backward_simulation(
