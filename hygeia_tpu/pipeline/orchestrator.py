@@ -34,6 +34,7 @@ class StageTrace:
     def __init__(self, output_dir):
         self.path = Path(output_dir)
         self.rows = []
+        self.t0 = time.time()
 
     def record(self, stage, chrom, seconds, skipped=False, attempts=1, status="ok"):
         self.rows.append(
@@ -46,6 +47,9 @@ class StageTrace:
             f.write("stage\tchrom\twall_s\tskipped\tattempts\tstatus\n")
             for r in self.rows:
                 f.write("\t".join(str(x) for x in r) + "\n")
+        self._write_timeline()
+        self._write_report()
+        self._write_dag()
         with open(self.path / "versions.yml", "w") as f:
             f.write(
                 f'hygeia_tpu: "{_VERSION}"\npython: "{platform.python_version()}"\n'
@@ -57,6 +61,72 @@ class StageTrace:
                 f.write(f'jax: "{jax.__version__}"\n')
         except Exception:
             pass
+
+    # Nextflow emits timeline/report/dag HTML artifacts per run
+    # (nextflow.config:36-51, `-with-report -with-dag`); these are the
+    # single-process analogs built from the recorded stage rows.
+
+    def _write_timeline(self):
+        total = max(sum(r[2] for r in self.rows), 1e-9)
+        bars, acc = [], 0.0
+        for stage, chrom, wall, skipped, attempts, status in self.rows:
+            left, width = 100.0 * acc / total, max(100.0 * wall / total, 0.3)
+            acc += wall
+            colour = (
+                "#bbb" if skipped else
+                "#d9534f" if str(status).startswith("ignored") else "#5b8def"
+            )
+            label = f"{stage} [{chrom}] {wall:.2f}s" + (
+                f" x{attempts}" if attempts > 1 else ""
+            )
+            bars.append(
+                f'<div class="row"><div class="bar" style="margin-left:{left:.2f}%;'
+                f'width:{width:.2f}%;background:{colour}"></div>'
+                f"<span>{label}</span></div>"
+            )
+        html = (
+            "<!doctype html><meta charset='utf-8'><title>hygeia timeline</title>"
+            "<style>body{font:12px sans-serif;margin:20px}.row{display:flex;"
+            "align-items:center;margin:2px 0}.bar{height:12px;border-radius:2px;"
+            "flex:none}span{margin-left:6px;white-space:nowrap}</style>"
+            f"<h2>hygeia_tpu run timeline — {total:.1f}s total</h2>"
+            + "".join(bars)
+        )
+        (self.path / "timeline.html").write_text(html)
+
+    def _write_report(self):
+        rows = "".join(
+            f"<tr><td>{s}</td><td>{c}</td><td>{w:.3f}</td><td>{sk}</td>"
+            f"<td>{a}</td><td>{st}</td></tr>"
+            for s, c, w, sk, a, st in self.rows
+        )
+        n_ignored = sum(1 for r in self.rows if str(r[5]).startswith("ignored"))
+        html = (
+            "<!doctype html><meta charset='utf-8'><title>hygeia report</title>"
+            "<style>body{font:13px sans-serif;margin:20px}table{border-collapse:"
+            "collapse}td,th{border:1px solid #ccc;padding:3px 8px}</style>"
+            f"<h2>hygeia_tpu run report</h2><p>{len(self.rows)} stage executions, "
+            f"{n_ignored} ignored after retries, total "
+            f"{sum(r[2] for r in self.rows):.1f}s</p>"
+            "<table><tr><th>stage</th><th>unit</th><th>wall_s</th>"
+            "<th>skipped</th><th>attempts</th><th>status</th></tr>"
+            + rows + "</table>"
+        )
+        (self.path / "report.html").write_text(html)
+
+    def _write_dag(self):
+        stages = []
+        for s, *_ in self.rows:
+            base = s.split("[")[0]
+            if base not in stages:
+                stages.append(base)
+        edges = "".join(
+            f'  "{a}" -> "{b}";\n' for a, b in zip(stages, stages[1:])
+        )
+        (self.path / "dag.dot").write_text(
+            "digraph hygeia {\n  rankdir=LR;\n  node [shape=box,"
+            " style=rounded];\n" + edges + "}\n"
+        )
 
 
 class StageFailed(RuntimeError):

@@ -17,46 +17,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hygeia_tpu.ops.hazard import gather_rho
 from hygeia_tpu.two_group.model import State, TwoGroupParams, transition_log_prob
 
 _NEG_INF = -jnp.inf
 
 
-def _hazard_history(params: TwoGroupParams, particles: State, chunk: int = 32):
-    """Hazards at every stored particle, gathered ONCE for the whole history.
-
-    The backward kernel evaluates f(x_{t+1} | x_t^n) against the particle
-    history; the hazard factors depend only on x_t^n, so gathering them per
-    scan step repeats the same (N,)-sized table lookups T times — the single
-    largest slice of backward-pass time. Two (T, N) lookups up front replace
-    them all.
-
-    The lookup runs in ``chunk``-row time slices under ``lax.map``: the
-    row-gather inside gather_rho materialises a (rows, 128) intermediate, and
-    at the full T*N history that is tens of GB (one whole-history call OOMs
-    compile). Chunked, it is also ~3x faster than one flat whole-history
-    gather (206 ms vs 681 ms for (8, 4095, 2400) lookups, measured on chip).
-    """
-    T, N = particles.d_c.shape
-    n_ch = -(-T // chunk)
-    pad = n_ch * chunk - T
-
-    def pad_rs(x):
-        return jnp.pad(x, ((0, pad), (0, 0))).reshape(n_ch, chunk, N)
-
-    d_c, r_c = pad_rs(particles.d_c), pad_rs(particles.r_c)
-    d_k, r_k = pad_rs(particles.d_k), pad_rs(particles.r_k)
-
-    def one(args):
-        dc, rc, dk, rk = args
-        return (
-            gather_rho(params.rho_control, dc, rc),
-            gather_rho(params.rho_case, dk, rk),
-        )
-
-    rho_c, rho_k = jax.lax.map(one, (d_c, r_c, d_k, r_k))
-    return rho_c.reshape(-1, N)[:T], rho_k.reshape(-1, N)[:T]
+# NOTE on hazard lookups: round 1 precomputed a (T, N) "_hazard_history" for
+# the whole particle history and threaded it through the scan. MEASURED ON
+# CHIP (tools/bisect_backward.py, T=4096 x 8 units): per-step gather_rho at
+# (1, N) inside the scan body is 15% FASTER (0.55 s vs 0.64 s) — the hoisted
+# tables add two (T, N) f32 scan inputs whose per-step slicing costs more
+# than the row-gather they save — and the hoist's 2 x T x N x 4 B footprint
+# (2.1 GB at the production 110k-site segment) pushed the backward pass over
+# the 16 GB HBM of a v5e chip. Hazards are therefore computed per step.
 
 
 def _categorical_rows(key, logits):
@@ -91,20 +64,16 @@ def backward_simulation(
     idx = jax.random.categorical(k_last, last_lw, shape=(B,))
     last_particle = State(*(f[T - 1][idx] for f in particles))  # fields (B,)
 
-    # Only rows 0..T-2 feed the backward kernel (the terminal particle is
-    # drawn from the final weights above), so gather hazards for those rows
-    # only — one chunk-row of gather_rho work saved per call.
     parts_head = State(*(f[: T - 1] for f in particles))
-    rho_c_hist, rho_k_hist = _hazard_history(params, parts_head)
 
     def step(carry, inputs):
         nxt = carry  # State of (B,) — particle at time t+1
-        lw_t, cur, rc_t, rk_t, k = inputs  # (N,), State of (N,), (N,), (N,), key
+        lw_t, cur, k = inputs  # (N,), State of (N,), key
         cur_b = State(*(f[None, :] for f in cur))  # (1, N)
         nxt_b = State(*(f[:, None] for f in nxt))  # (B, 1)
-        trans = transition_log_prob(
-            params, cur_b, nxt_b, rho_c=rc_t[None, :], rho_k=rk_t[None, :]
-        )  # (B, N)
+        # Hazards gathered per step at (1, N) — the fastest measured layout
+        # (see module note above).
+        trans = transition_log_prob(params, cur_b, nxt_b)  # (B, N)
         logits = jnp.where(
             jnp.isfinite(trans) & (lw_t[None, :] > _NEG_INF),
             lw_t[None, :].astype(trans.dtype) + trans,
@@ -120,13 +89,7 @@ def backward_simulation(
     _, trajectory = jax.lax.scan(
         step,
         last_particle,
-        (
-            log_weights[: T - 1],
-            parts_head,
-            rho_c_hist,
-            rho_k_hist,
-            keys,
-        ),
+        (log_weights[: T - 1], parts_head, keys),
         reverse=True,
         unroll=4,
     )
@@ -163,16 +126,12 @@ def backward_simulation_conditioned(
     B = terminal_state.shape[0]
     nxt0 = State(*(terminal_state[:, i].astype(jnp.int32) for i in range(5)))
 
-    rho_c_hist, rho_k_hist = _hazard_history(params, particles)
-
     def step(carry, inputs):
         nxt = carry  # (B,) State at time t+1
-        lw_t, cur, rc_t, rk_t, k, is_term = inputs
+        lw_t, cur, k, is_term = inputs
         cur_b = State(*(f[None, :] for f in cur))  # (1, N)
         nxt_b = State(*(f[:, None] for f in nxt))  # (B, 1)
-        trans = transition_log_prob(
-            params, cur_b, nxt_b, rho_c=rc_t[None, :], rho_k=rk_t[None, :]
-        )  # (B, N)
+        trans = transition_log_prob(params, cur_b, nxt_b)  # (B, N)
         logits_cond = jnp.where(
             jnp.isfinite(trans) & (lw_t[None, :] > _NEG_INF),
             lw_t[None, :].astype(trans.dtype) + trans,
@@ -191,7 +150,7 @@ def backward_simulation_conditioned(
     _, trajectory = jax.lax.scan(
         step,
         nxt0,
-        (log_weights, particles, rho_c_hist, rho_k_hist, keys, is_term),
+        (log_weights, particles, keys, is_term),
         reverse=True,
         unroll=4,
     )

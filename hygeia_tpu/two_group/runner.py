@@ -223,12 +223,19 @@ def infer_segment(
                     multinomial_resampling=multinomial,
                     weight_dtype=weight_dtype,
                 )
-                return res.log_normalizing_constant, res.log_weights, res.particles
+                return (
+                    res.log_normalizing_constant,
+                    res.log_weights,
+                    res.particles,
+                    res.degenerate_steps,
+                )
 
             return jax.vmap(one)(keys)
 
-        @jax.jit
-        def backward_m(keys, lw, particles):
+        # The filter history is dead after the backward pass; donating it
+        # lets XLA reuse its ~T*N*24B (6.3 GB at production shape) instead
+        # of holding input and temporaries side by side.
+        def _backward_m(keys, lw, particles):
             def one(key, lw_i, parts_i):
                 traj = backward_simulation(
                     key, params, lw_i, parts_i, num_samples_backward
@@ -237,6 +244,8 @@ def infer_segment(
                 return traj, split, regime
 
             return jax.vmap(one)(keys, lw, particles)
+
+        backward_m = jax.jit(_backward_m, donate_argnums=(1, 2))
 
         outs = {}
         for c0 in range(0, len(seeds), seeds_per_call):
@@ -247,13 +256,23 @@ def infer_segment(
             )
             with _maybe_trace():
                 t0 = time.time()
-                log_z_v, lw_v, parts_v = jax.block_until_ready(filter_m(keys))
+                log_z_v, lw_v, parts_v, degen_v = jax.block_until_ready(
+                    filter_m(keys)
+                )
                 t_filter = time.time() - t0
                 t0 = time.time()
                 traj_v, split_v, regime_v = jax.block_until_ready(
                     backward_m(bkeys, lw_v, parts_v)
                 )
                 t_backward = time.time() - t0
+            for i, s in enumerate(chunk):
+                d = int(degen_v[i])
+                if d:
+                    # The reference dumps NaN diagnostics in its SMC loop
+                    # (Smc.h:168-187); nonzero here means weight collapse.
+                    print(f"WARNING: seed {s}: {d} degenerate filter steps")
+                else:
+                    print(f"seed {s}: degenerate_steps=0")
             for i, s in enumerate(chunk):
                 outs[s] = (
                     float(log_z_v[i]),

@@ -344,3 +344,7 @@ def test_stub_run(tmp_path):
         assert (out / "3_GET_CHROM_SEGMENTS" / chrom / f"chrom_segments_{chrom}.csv").exists()
     assert (out / "trace.tsv").exists()
     assert (out / "versions.yml").exists()
+    # Nextflow-artifact analogs (nextflow.config:36-51).
+    assert "<h2>" in (out / "timeline.html").read_text()
+    assert "<table>" in (out / "report.html").read_text()
+    assert "digraph" in (out / "dag.dot").read_text()

@@ -32,7 +32,30 @@ def main():
     from hygeia_tpu.two_group import model as model_mod
     from hygeia_tpu.two_group.model import make_params, State, transition_log_prob
     from hygeia_tpu.two_group.filter import run_filter
-    from hygeia_tpu.two_group.backward import _hazard_history, _categorical_rows
+    from hygeia_tpu.two_group.backward import _categorical_rows
+
+    def _hazard_history(params, particles, chunk=32):
+        # The round-1 hoist (removed from backward.py after this bisect
+        # showed it 15% slower + 2.1 GB heavier): (T, N) lookups up front.
+        T, N = particles.d_c.shape
+        n_ch = -(-T // chunk)
+        pad = n_ch * chunk - T
+
+        def pad_rs(x):
+            return jnp.pad(x, ((0, pad), (0, 0))).reshape(n_ch, chunk, N)
+
+        d_c, r_c = pad_rs(particles.d_c), pad_rs(particles.r_c)
+        d_k, r_k = pad_rs(particles.d_k), pad_rs(particles.r_k)
+
+        def one(args):
+            dc, rc, dk, rk = args
+            return (
+                gather_rho(params.rho_control, dc, rc),
+                gather_rho(params.rho_case, dk, rk),
+            )
+
+        rho_c, rho_k = jax.lax.map(one, (d_c, r_c, d_k, r_k))
+        return rho_c.reshape(-1, N)[:T], rho_k.reshape(-1, N)[:T]
 
     T = int(os.environ.get("HYGEIA_BENCH_T", 4096))
     UNITS = int(os.environ.get("HYGEIA_BENCH_UNITS", 8))
