@@ -78,7 +78,7 @@ def sharded_two_group_inference(
     """Run the whole chromosome across the mesh.
 
     Returns (trajectories, log_z):
-      trajectories: (n_blocks * segment_size, n_seeds * B, 5) int16-valued
+      trajectories: (n_blocks * segment_size, n_seeds * B, 5) int32-valued
         backward-simulation states, halo-trimmed and genome-ordered
         (padding rows beyond the true T are zeros-of-the-prior; slice [:T]).
       log_z: (n_blocks, n_seeds) per-block log-normalising constants.
@@ -152,7 +152,7 @@ def sharded_two_group_inference(
             B,
         )
         trimmed = traj[buffer_size : buffer_size + segment_size]
-        return trimmed.astype(jnp.int16), res.log_normalizing_constant
+        return trimmed, res.log_normalizing_constant
 
     @partial(
         shard_map,
@@ -337,7 +337,7 @@ def _exchange_two_group_inference(
         spd = traj.shape[0]
         traj = traj.reshape(spd, bpd, segment_size, B, 5).transpose(1, 0, 2, 3, 4)
         log_z = res.log_normalizing_constant[None, :]  # (1, spd)
-        return traj.astype(jnp.int16), log_z
+        return traj, log_z
 
     @jax.jit
     def tables(mc, tc, mk, tk):

@@ -92,8 +92,8 @@ def aggregate_chromosome(
         # State archives are (T, B, 2) = (duration, regime) pairs.
         frames["ctrl_regime"].append(pd.DataFrame(ctrl[:, :, 1]).astype(np.int8))
         frames["case_regime"].append(pd.DataFrame(case[:, :, 1]).astype(np.int8))
-        frames["ctrl_dur"].append(pd.DataFrame(ctrl[:, :, 0]).astype(np.int16))
-        frames["case_dur"].append(pd.DataFrame(case[:, :, 0]).astype(np.int16))
+        frames["ctrl_dur"].append(pd.DataFrame(ctrl[:, :, 0]).astype(np.int32))
+        frames["case_dur"].append(pd.DataFrame(case[:, :, 0]).astype(np.int32))
         for key, fname in (
             ("n_tot_ctrl", "n_total_reads_control.csv.gz"),
             ("n_tot_case", "n_total_reads_case.csv.gz"),

@@ -64,11 +64,15 @@ def backward_simulation(
     idx = jax.random.categorical(k_last, last_lw, shape=(B,))
     last_particle = State(*(f[T - 1][idx] for f in particles))  # fields (B,)
 
-    parts_head = State(*(f[: T - 1] for f in particles))
-
+    # The scan consumes the FULL (T, N) history as xs with a terminal-step
+    # mask rather than slicing off the last row: `log_weights[:T-1]` and the
+    # five particle-field head slices each materialise a copy inside the jit
+    # — ~6.3 GB extra at the production 110k-site segment, which pushed the
+    # backward dispatch over a v5e's HBM even with the history donated.
+    # Masking wastes one step's kernel evaluation out of T instead.
     def step(carry, inputs):
         nxt = carry  # State of (B,) — particle at time t+1
-        lw_t, cur, k = inputs  # (N,), State of (N,), key
+        lw_t, cur, k, is_last = inputs  # (N,), State of (N,), key, bool
         cur_b = State(*(f[None, :] for f in cur))  # (1, N)
         nxt_b = State(*(f[:, None] for f in nxt))  # (B, 1)
         # Hazards gathered per step at (1, N) — the fastest measured layout
@@ -80,26 +84,29 @@ def backward_simulation(
             _NEG_INF,
         )
         sel = _categorical_rows(k, logits)  # (B,)
-        picked = State(*(f[sel] for f in cur))
+        picked = State(
+            *(jnp.where(is_last, n, f[sel]) for n, f in zip(nxt, cur))
+        )
         return picked, picked
 
-    # Reverse over t = T-2 .. 0; the transition evaluated at time t uses the
-    # particle sampled for t+1 (step index never hits the t=0 special case).
-    keys = jax.random.split(key, T - 1)
+    # Reverse over t = T-1 .. 0. At t = T-1 the carry is the terminal draw
+    # and the step emits it unchanged; each earlier step samples time t from
+    # the backward kernel against the particle chosen for t+1. Keys are
+    # derived per row so the stream matches the semantic step index.
+    keys = jax.random.split(key, T)
+    is_last = jnp.arange(T) == T - 1
     _, trajectory = jax.lax.scan(
         step,
         last_particle,
-        (log_weights[: T - 1], parts_head, keys),
+        (log_weights, particles, keys, is_last),
         reverse=True,
         unroll=4,
     )
-    # Append the terminal sample and pack into the reference's (T, B, 5)
-    # layout (materialised once at the end; the padded tail axis is small).
-    fields = [
-        jnp.concatenate([ft, fl[None]], axis=0)
-        for ft, fl in zip(trajectory, last_particle)
-    ]
-    return jnp.stack(fields, axis=-1)  # (T, B, 5)
+    # History fields are mixed-width (int8 regimes, int32 durations); the
+    # packed trajectory is small, so widen uniformly.
+    return jnp.stack(
+        [f.astype(jnp.int32) for f in trajectory], axis=-1
+    )  # (T, B, 5)
 
 
 def backward_simulation_conditioned(
@@ -124,7 +131,14 @@ def backward_simulation_conditioned(
     """
     T, N = log_weights.shape
     B = terminal_state.shape[0]
-    nxt0 = State(*(terminal_state[:, i].astype(jnp.int32) for i in range(5)))
+    # Carry dtypes must match the (mixed-width) history fields the scan picks
+    # from (int8 regimes/flag, int32 durations; see filter._narrow).
+    nxt0 = State(
+        *(
+            terminal_state[:, i].astype(f.dtype)
+            for i, f in enumerate(particles)
+        )
+    )
 
     def step(carry, inputs):
         nxt = carry  # (B,) State at time t+1
@@ -154,7 +168,9 @@ def backward_simulation_conditioned(
         reverse=True,
         unroll=4,
     )
-    return jnp.stack(list(trajectory), axis=-1)  # (T, B, 5)
+    return jnp.stack(
+        [f.astype(jnp.int32) for f in trajectory], axis=-1
+    )  # (T, B, 5)
 
 
 def smoothing_functionals(trajectory, n_regimes):

@@ -44,10 +44,27 @@ _NEG_INF = -jnp.inf
 from hygeia_tpu.utils.vma import pcast_varying as _pcast_varying
 
 
+def _narrow(state: State) -> State:
+    """History storage dtypes: durations keep int32 (sojourns reach the
+    segment length, 110k in production — int16 overflows), but the merged
+    flag and the two regimes fit int8. 24 -> 15 bytes per particle-site cuts
+    the (T, N) filter history from 6.3 GB to 4.0 GB per production segment —
+    the margin that lets the backward dispatch fit in a v5e's 16 GB HBM even
+    when XLA cannot reuse the donated input buffers."""
+    return State(
+        m=state.m.astype(jnp.int8),
+        d_c=state.d_c,
+        r_c=state.r_c.astype(jnp.int8),
+        d_k=state.d_k,
+        r_k=state.r_k.astype(jnp.int8),
+    )
+
+
 class FilterResult(NamedTuple):
     log_weights: jnp.ndarray  # (T, N) per-step-normalised log weights
-    particles: State  # pytree of five (T, N) int32 arrays. Kept as separate
-    # per-field arrays: any stacked layout puts a length-5 axis into the TPU
+    particles: State  # pytree of five (T, N) arrays (int32 durations, int8
+    # merged flag/regimes — see _narrow). Kept as separate per-field arrays:
+    # any stacked layout puts a length-5 axis into the TPU
     # (8, 128) tile and pads it 25x in HBM (40 GB for an 8-unit bench).
     log_normalizing_constant: jnp.ndarray  # scalar: sum of per-step shifts
     degenerate_steps: jnp.ndarray  # scalar int: steps where every particle
@@ -177,14 +194,22 @@ def run_filter(
         shift = jnp.where(degenerate, 0.0, shift)
         return (new_lw, new_particles), (new_lw, new_particles, shift, degenerate)
 
+    # History-buffer layout: the scan's ys ARE the returned history. Padding
+    # slots sit at the FRONT and emit the (unadvanced) carry — i.e. the init
+    # state — so the stacked ys read [init, ..., init, site 1, ..., site T-1].
+    # With front_pad == 1 (whenever T % K == 0, true for the production
+    # shapes) the ys are exactly the (T, N) history: NO trailing-slice copy
+    # and NO init-row concatenate. Those two copies each duplicated the
+    # ~4 GB history of a 110k-site segment and were the filter's peak-HBM
+    # driver. front_pad > 1 falls back to one slice (copy).
     K = max(1, int(unroll))
     n_steps = T - 1
-    n_chunks = -(-n_steps // K)
-    pad = n_chunks * K - n_steps
+    n_chunks = max(1, -(-T // K))
+    front_pad = n_chunks * K - n_steps
     ts_pad = np.concatenate(
-        [np.arange(1, T), np.full(pad, T - 1)]
+        [np.zeros(front_pad), np.arange(1, T)]
     ).astype(np.int32)
-    valid_pad = np.concatenate([np.ones(n_steps, bool), np.zeros(pad, bool)])
+    valid_pad = np.concatenate([np.zeros(front_pad, bool), np.ones(n_steps, bool)])
     site_keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
         jnp.asarray(ts_pad, jnp.uint32)
     )
@@ -194,13 +219,23 @@ def run_filter(
         outs = []
         for k in range(K):
             new_carry, out = site_update(carry, ts_k[k], keys_k[k])
-            # Padded trailing sites: keep the old carry, zero the shift.
+            old_lw, old_parts = carry
+            # Invalid (front-pad) slots: keep the old carry, emit it as the
+            # history row, zero the shift.
             carry = jax.tree.map(
                 lambda n, o: jnp.where(valid_k[k], n, o), new_carry, carry
             )
             outs.append(
-                (out[0], out[1], jnp.where(valid_k[k], out[2], 0.0),
-                 out[3] & valid_k[k])
+                (
+                    jnp.where(valid_k[k], out[0], old_lw),
+                    jax.tree.map(
+                        lambda n, o: jnp.where(valid_k[k], n, o),
+                        _narrow(out[1]),
+                        _narrow(old_parts),
+                    ),
+                    jnp.where(valid_k[k], out[2], 0.0),
+                    out[3] & valid_k[k],
+                )
             )
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
         return carry, stacked
@@ -213,15 +248,9 @@ def run_filter(
     (final_lw, _), (lws, parts, shifts, degen) = jax.lax.scan(
         chunk_step, (init_lw, init_states), xs
     )
-    lws = lws.reshape(n_chunks * K, -1)[:n_steps]
-    parts = State(*(f.reshape(n_chunks * K, -1)[:n_steps] for f in parts))
-    all_lw = jnp.concatenate([init_lw[None], lws], axis=0)
-    all_parts = State(
-        *(
-            jnp.concatenate([f0[None], ft], axis=0)
-            for f0, ft in zip(init_states, parts)
-        )
-    )
+    skip = front_pad - 1  # rows before the init row; 0 in the zero-copy case
+    all_lw = lws.reshape(n_chunks * K, -1)[skip:]
+    all_parts = State(*(f.reshape(n_chunks * K, -1)[skip:] for f in parts))
     return FilterResult(
         log_weights=all_lw,
         particles=all_parts,

@@ -187,10 +187,13 @@ def infer_segment(
 
     for M in num_resampled_particles:
         N = M * (2 * R + R * R)
-        # The filter history costs ~T*N*(4B weights + 5*4B particles) per
-        # seed; chunk the vmapped seeds so history + temps fit in HBM
-        # (full 110k-site segments with N=2400 take ~6.3 GB per seed).
-        per_seed = T * N * 24 if not marginal else N * N * 8
+        # The filter history costs ~T*N*15B (f32 weights + int32 durations +
+        # int8 regimes/flag; filter._narrow) per seed — ~4.0 GB for a full
+        # 110k-site segment. Budget DOUBLE that per seed: XLA could not use
+        # the donated history buffers across the filter->backward program
+        # boundary on this runtime (layout mismatch warning), so both copies
+        # can be live while the backward dispatch starts.
+        per_seed = T * N * 30 if not marginal else N * N * 8
         seeds_per_call = max(1, int(hbm_budget // max(per_seed, 1)))
         if max_seeds_per_call is not None:
             seeds_per_call = min(seeds_per_call, max_seeds_per_call)
@@ -293,11 +296,11 @@ def infer_segment(
             )
             np.savez_compressed(
                 os.path.join(path, f"optimal_backward_particles_control_state_{N}_{s}"),
-                traj[:, :, 1:3].astype(np.int16)[ret],
+                traj[:, :, 1:3].astype(np.int32)[ret],
             )
             np.savez_compressed(
                 os.path.join(path, f"optimal_backward_particles_case_state_{N}_{s}"),
-                traj[:, :, 3:5].astype(np.int16)[ret],
+                traj[:, :, 3:5].astype(np.int32)[ret],
             )
             np.savez_compressed(
                 os.path.join(path, f"optimal_split_probs_{N}_{s}"), split_s

@@ -145,11 +145,11 @@ def simulate_two_groups(args):
         )
         np.savez_compressed(
             os.path.join(args.results_dir, f"optimal_backward_particles_control_state_{N}_{args.seed}"),
-            traj[:, :, 1:3].astype(np.int16),
+            traj[:, :, 1:3].astype(np.int32),
         )
         np.savez_compressed(
             os.path.join(args.results_dir, f"optimal_backward_particles_case_state_{N}_{args.seed}"),
-            traj[:, :, 3:5].astype(np.int16),
+            traj[:, :, 3:5].astype(np.int32),
         )
         np.savez_compressed(
             os.path.join(args.results_dir, f"optimal_split_probs_{N}_{args.seed}"),

@@ -66,8 +66,12 @@ def main():
 
     root = Path(os.environ.get("HYGEIA_PROD_DIR", "/tmp/hygeia_prod"))
     t0 = time.time()
-    data, sg = build_fixture(root)
-    print(f"fixture built in {time.time() - t0:.1f}s", flush=True)
+    if (root / "data" / "positions_prod.txt.gz").exists():
+        data, sg = root / "data", root / "sg"
+        print("fixture reused", flush=True)
+    else:
+        data, sg = build_fixture(root)
+        print(f"fixture built in {time.time() - t0:.1f}s", flush=True)
 
     results = root / "results"
     t0 = time.time()
