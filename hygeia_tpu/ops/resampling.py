@@ -44,6 +44,43 @@ def _normalise(log_weights):
     return log_weights - log_z, log_z
 
 
+_PREFIX_BLOCK = 128
+
+
+def _cumsum_fast(x):
+    """(N,) inclusive prefix sum via blocked lower-triangular matmuls.
+
+    XLA's cumsum lowering serialises along the axis; on TPU a (2400,) prefix
+    per scan step was ~23 us. Blocked form: reshape to (nb, 128), multiply by
+    a 128x128 lower-triangular ones matrix on the MXU (HIGHEST precision —
+    f32-exact accumulation), then offset blocks by a tiny (nb,) cumsum.
+    Summation order differs from sequential cumsum only in grouping; the
+    realised-total rescaling used by every CDF consumer keeps the grids
+    consistent. Measured 2.3x faster resampling together with the
+    scatter-free masks (tools/bisect_resampling.py)."""
+    n = x.shape[0]
+    if n <= _PREFIX_BLOCK:
+        return jnp.cumsum(x)
+    nb = -(-n // _PREFIX_BLOCK)
+    xp = jnp.pad(x, (0, nb * _PREFIX_BLOCK - n)).reshape(nb, _PREFIX_BLOCK)
+    tril = jnp.tril(jnp.ones((_PREFIX_BLOCK, _PREFIX_BLOCK), x.dtype))
+    within = jax.lax.dot(
+        xp, tril.T, precision=jax.lax.Precision.HIGHEST
+    )  # (nb, B) prefix within each block
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), x.dtype), jnp.cumsum(within[:, -1])[:-1]]
+    )
+    return (within + offs[:, None]).reshape(-1)[:n]
+
+
+def _member_mask(n, idx):
+    """Boolean (n,) mask marking the positions in `idx` — built from a
+    comparison table instead of a scatter (`.at[idx].set(True)` serialises on
+    TPU: ~27 us per mask per scan step at n=2400)."""
+    hits = jnp.arange(n)[None, :] == idx[:, None]  # (len(idx), n)
+    return jnp.any(hits, axis=0), hits
+
+
 def _count_below(q, t, *, strict_side_left=True):
     """Exact replacement for jnp.searchsorted(q, t, side=...) on sorted q.
 
@@ -72,7 +109,7 @@ def systematic_resampling(key, log_norm_weights, num_offspring):
     """
     m = num_offspring
     u = jax.random.uniform(key, (), dtype=jnp.float32)
-    q = jnp.cumsum(jnp.exp(log_norm_weights))
+    q = _cumsum_fast(jnp.exp(log_norm_weights))
     # Scale the grid by the realised total mass: with f32 rounding the cumsum
     # total can fall below 1, and an unscaled grid point past it would select
     # a zero-weight (dead) slot — on TPU this produced -inf ancestors.
@@ -90,7 +127,7 @@ def multinomial_resampling(key, log_weights, num_offspring):
     """
     n = log_weights.shape[0]
     log_norm, _ = _normalise(log_weights)
-    q = jnp.cumsum(jnp.exp(log_norm))
+    q = _cumsum_fast(jnp.exp(log_norm))
     u = jax.random.uniform(key, (num_offspring,), dtype=jnp.float32)
     # side="right" (first q strictly above t): zero-weight slots have
     # q_i == q_{i-1} and can never be hit, even at exact CDF boundaries.
@@ -162,7 +199,7 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     # incoherently between adjacent k, so NO candidate passes and the
     # multinomial fallback collapses a healthy particle set (observed: logZ
     # 2.4 nats low on a 10-site f64 parity test because one step fell back).
-    top_mask = jnp.zeros((n,), bool).at[top_idx].set(True)
+    top_mask, top_hits = _member_mask(n, top_idx)
     tail = jnp.sum(jnp.where(top_mask, 0.0, jnp.exp(log_norm)))
     suffix = jnp.cumsum(top_q[::-1])[::-1] + tail
 
@@ -193,14 +230,14 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
 
     # Residual systematic resampling over the unsorted weights with the kept
     # set masked out.
-    kept_mask = jnp.zeros((n,), bool).at[top_idx].set(slots_mask(kk, k_star))
+    kept_mask = jnp.any(top_hits & slots_mask(kk, k_star)[:, None], axis=0)
     resid_lw = jnp.where(kept_mask, _NEG_INF, log_norm)
     resid_norm, _ = _normalise(resid_lw)
     key_sys, key_mult = jax.random.split(key)
     # Draw M offspring positions; only positions >= K are used.
     l = jnp.maximum(m - k_star, 1)
     u = jax.random.uniform(key_sys, (), dtype=jnp.float32)
-    q_resid = jnp.cumsum(jnp.exp(resid_norm))
+    q_resid = _cumsum_fast(jnp.exp(resid_norm))
     # Grid scaled by the realised residual mass (see systematic_resampling):
     # prevents selecting past the last live particle under f32 rounding.
     t = (jnp.arange(m, dtype=jnp.float32) + u) / l.astype(jnp.float32) * q_resid[-1]
