@@ -56,15 +56,27 @@ def main():
         offs = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(block_tot)[:-1]])
         return (within + offs[:, None]).reshape(-1)[:n]
 
-    def make_optimal(noscatter, mmprefix):
+    def make_optimal(noscatter, mmprefix, selector="topk"):
         cs = cumsum_mm if mmprefix else jnp.cumsum
+
+        def select(log_norm, kk):
+            if selector == "topk":
+                return jax.lax.top_k(log_norm, kk)
+            if selector == "approx":
+                v, i = jax.lax.approx_max_k(log_norm, kk, recall_target=1.0)
+                return v, i.astype(jnp.int32)
+            if selector == "sort":
+                n = log_norm.shape[0]
+                v, i = jax.lax.sort((-log_norm, jnp.arange(n)), num_keys=1)
+                return -v[:kk], i[:kk].astype(jnp.int32)
+            raise ValueError(selector)
 
         def f(key, log_weights, m):
             n = log_weights.shape[0]
             dtype = log_weights.dtype
             log_norm, log_z = _normalise(log_weights)
             kk = min(m + 1, n)
-            top_lw, top_idx = jax.lax.top_k(log_norm, kk)
+            top_lw, top_idx = select(log_norm, kk)
             top_q = jnp.exp(top_lw)
             if noscatter:
                 iota = jnp.arange(n)
@@ -144,6 +156,8 @@ def main():
         "r_noscatter": make_optimal(True, False),
         "r_mmprefix": make_optimal(False, True),
         "r_combo": make_optimal(True, True),
+        "r_combo_approx": make_optimal(True, True, "approx"),
+        "r_combo_sort": make_optimal(True, True, "sort"),
     }
 
     def topk_only(key, lw, m):
