@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hygeia_tpu.two_group.model import State, TwoGroupParams, transition_log_prob
+from hygeia_tpu.two_group.model import State, TwoGroupParams
 
 _NEG_INF = -jnp.inf
 
@@ -30,6 +30,113 @@ _NEG_INF = -jnp.inf
 # than the row-gather they save — and the hoist's 2 x T x N x 4 B footprint
 # (2.1 GB at the production 110k-site segment) pushed the backward pass over
 # the 16 GB HBM of a v5e chip. Hazards are therefore computed per step.
+
+
+def _backward_logits(params: TwoGroupParams, cur: State, nxt: State, lw_t):
+    """Backward-kernel logits  lw_t[n] + log f(nxt[b] | cur[n])  as (B, N).
+
+    Semantically identical to
+        transition_log_prob(params, cur[None, :], nxt[:, None]) + mask
+    (covered by tests/test_two_group_filter.py::test_backward_logits_
+    matches_transition) but restructured for the TPU: the generic density
+    broadcasts every intermediate of its ~50-op branch tree to (B, N), which
+    made the transition evaluation 67% of backward-pass time
+    (tools/bisect_backward2.py). Here every prev-only factor (hazards, merged
+    rows, duration gate) is computed once at (N,), every next-only factor at
+    (B,), the control transition row lookup is one exact one-hot matmul
+    sandwich (N,R)@(R,R)@(R,B) on the MXU, and only ~25 ops touch (B, N).
+
+    Branch structure mirrors case_control_regime_model.py:80-87 and
+    case_control_distributions.py:138-151, 246-291 — see
+    model.transition_log_prob for the reference-line commentary.
+    """
+    R = params.n_regimes
+    from hygeia_tpu.ops.hazard import gather_rho
+
+    f32 = params.rho_case.dtype
+    NEG = _NEG_INF
+
+    def ind(c):
+        return jnp.where(c, 0.0, NEG)
+
+    # ---- prev-only (N,) ----------------------------------------------------
+    rho_c = gather_rho(params.rho_control, cur.d_c, cur.r_c)
+    rho_k = gather_rho(params.rho_case, cur.d_k, cur.r_k)
+    log_rho_c, log1m_rho_c = jnp.log(rho_c), jnp.log1p(-rho_c)
+    log_rho_k, log1m_rho_k = jnp.log(rho_k), jnp.log1p(-rho_k)
+    gate = jnp.minimum(cur.d_k, cur.d_c) >= params.min_duration
+    lpm = params.log_p_merged
+    to0 = jnp.where(cur.m == 0, lpm[0, 0], lpm[1, 0])
+    to1 = jnp.where(cur.m == 0, lpm[0, 1], lpm[1, 1])
+
+    # Control transition row values log_p[cur.r_c, nxt.r_c] as (N, B): an
+    # exact one-hot sandwich (0/1 operands; HIGHEST keeps f32 on the MXU).
+    regs = jnp.arange(R)
+    safe = jnp.where(jnp.isfinite(params.log_p_control), params.log_p_control, -1e30)
+    oh_prev = (cur.r_c[:, None] == regs).astype(f32)  # (N, R)
+    oh_nxt_rc = (nxt.r_c[:, None] == regs).astype(f32)  # (B, R)
+    hi = jax.lax.Precision.HIGHEST
+    rows = jax.lax.dot(oh_prev, safe, precision=hi)  # (N, R)
+    lp_p_nb = jax.lax.dot(rows, oh_nxt_rc.T, precision=hi)  # (N, B)
+    lp_p_ctrl = jnp.where(lp_p_nb.T <= -1e29, NEG, lp_p_nb.T)  # (B, N)
+
+    # ---- next-only (B,) ----------------------------------------------------
+    lp_a = ind((nxt.r_k == nxt.r_c) & (nxt.d_k == nxt.d_c))
+    lp_unif_not_c = ind(nxt.r_k != nxt.r_c) - jnp.log(float(R - 1))
+    lp_b = lp_unif_not_c + ind(nxt.d_k == 1)
+    nxt_dc1 = nxt.d_c == 1
+    nxt_dk1 = nxt.d_k == 1
+
+    # ---- joint (B, N) -------------------------------------------------------
+    cN = lambda x: x[None, :]
+    nB = lambda x: x[:, None]
+
+    lp_m = jnp.where(
+        cN(gate),
+        jnp.where(nB(nxt.m == 0), cN(to0), cN(to1)),
+        ind(nB(nxt.m) == cN(cur.m)),
+    )
+
+    lp_c = jnp.where(
+        nB(nxt_dc1),
+        cN(log_rho_c) + lp_p_ctrl,
+        cN(log1m_rho_c)
+        + ind(cN(cur.d_c) == nB(nxt.d_c - 1))
+        + ind(cN(cur.r_c) == nB(nxt.r_c)),
+    )
+
+    log_n_opts = jnp.where(
+        nB(nxt.r_c) != cN(cur.r_k),
+        jnp.log(jnp.asarray(R - 2, f32)),
+        jnp.log(jnp.asarray(R - 1, f32)),
+    )
+    lp_unif2 = (
+        nB(ind(nxt.r_k != nxt.r_c))
+        + ind(nB(nxt.r_k) != cN(cur.r_k))
+        - log_n_opts
+    )
+    lp_cbr = nB(ind(nxt_dk1)) + lp_unif2
+    lp_d = jnp.where(
+        nB(nxt_dk1),
+        cN(log_rho_k) + lp_unif2,
+        cN(log1m_rho_k)
+        + ind(cN(cur.d_k + 1) == nB(nxt.d_k))
+        + ind(cN(cur.r_k) == nB(nxt.r_k)),
+    )
+    in_b = cN(cur.m == 1) & nB(~nxt_dc1)
+    in_c = (nB(nxt.r_c) == cN(cur.r_k)) & cN(cur.m == 0)
+    lp_k = jnp.where(
+        nB(nxt.m == 1),
+        nB(lp_a),
+        jnp.where(in_b, nB(lp_b), jnp.where(in_c, lp_cbr, lp_d)),
+    )
+
+    trans = lp_m + lp_c + lp_k
+    return jnp.where(
+        jnp.isfinite(trans) & cN(lw_t > NEG),
+        cN(lw_t).astype(trans.dtype) + trans,
+        NEG,
+    )
 
 
 def _categorical_rows(key, logits):
@@ -73,16 +180,7 @@ def backward_simulation(
     def step(carry, inputs):
         nxt = carry  # State of (B,) — particle at time t+1
         lw_t, cur, k, is_last = inputs  # (N,), State of (N,), key, bool
-        cur_b = State(*(f[None, :] for f in cur))  # (1, N)
-        nxt_b = State(*(f[:, None] for f in nxt))  # (B, 1)
-        # Hazards gathered per step at (1, N) — the fastest measured layout
-        # (see module note above).
-        trans = transition_log_prob(params, cur_b, nxt_b)  # (B, N)
-        logits = jnp.where(
-            jnp.isfinite(trans) & (lw_t[None, :] > _NEG_INF),
-            lw_t[None, :].astype(trans.dtype) + trans,
-            _NEG_INF,
-        )
+        logits = _backward_logits(params, cur, nxt, lw_t)  # (B, N)
         sel = _categorical_rows(k, logits)  # (B,)
         picked = State(
             *(jnp.where(is_last, n, f[sel]) for n, f in zip(nxt, cur))
@@ -143,17 +241,12 @@ def backward_simulation_conditioned(
     def step(carry, inputs):
         nxt = carry  # (B,) State at time t+1
         lw_t, cur, k, is_term = inputs
-        cur_b = State(*(f[None, :] for f in cur))  # (1, N)
-        nxt_b = State(*(f[:, None] for f in nxt))  # (B, 1)
-        trans = transition_log_prob(params, cur_b, nxt_b)  # (B, N)
-        logits_cond = jnp.where(
-            jnp.isfinite(trans) & (lw_t[None, :] > _NEG_INF),
-            lw_t[None, :].astype(trans.dtype) + trans,
-            _NEG_INF,
-        )
+        logits_cond = _backward_logits(params, cur, nxt, lw_t)  # (B, N)
         # At the terminal step without conditioning, fall back to drawing
         # from the filtered weights (backward_simulation's terminal draw).
-        logits_uncond = jnp.broadcast_to(lw_t[None, :].astype(trans.dtype), trans.shape)
+        logits_uncond = jnp.broadcast_to(
+            lw_t[None, :].astype(logits_cond.dtype), logits_cond.shape
+        )
         logits = jnp.where(is_term & ~use_terminal, logits_uncond, logits_cond)
         sel = _categorical_rows(k, logits)  # (B,)
         picked = State(*(f[sel] for f in cur))

@@ -201,3 +201,44 @@ def test_filter_unroll_invariance():
             rtol=1e-12,
         )
         assert int(res.degenerate_steps) == int(base.degenerate_steps)
+
+
+def test_backward_logits_matches_transition():
+    """The backward-specialised logits kernel (backward._backward_logits)
+    must equal lw + transition_log_prob(cur[None,:], nxt[:,None]) with the
+    -inf/-finite masking, on random valid AND padding (-1) states."""
+    from hygeia_tpu.two_group.backward import _backward_logits
+
+    params = default_params(d_max=64)
+    R = params.n_regimes
+    rng = np.random.default_rng(0)
+    N, B = 150, 17
+
+    def rand_states(n, pad_frac=0.2):
+        m = rng.integers(0, 2, n)
+        d_c = rng.integers(1, 40, n)
+        r_c = rng.integers(0, R, n)
+        d_k = np.where(m == 1, d_c, rng.integers(1, 40, n))
+        r_k = np.where(m == 1, r_c, rng.integers(0, R, n))
+        dead = rng.random(n) < pad_frac
+        f = lambda x: jnp.asarray(np.where(dead, -1, x), jnp.int32)
+        return State(f(m), f(d_c), f(r_c), f(d_k), f(r_k)), dead
+
+    cur, cur_dead = rand_states(N)
+    nxt, _ = rand_states(B, pad_frac=0.0)
+    lw = jnp.asarray(
+        np.where(cur_dead, -np.inf, rng.normal(size=N)), jnp.float32
+    )
+
+    cur_b = State(*(f[None, :] for f in cur))
+    nxt_b = State(*(f[:, None] for f in nxt))
+    trans = transition_log_prob(params, cur_b, nxt_b)
+    want = np.asarray(
+        jnp.where(
+            jnp.isfinite(trans) & (lw[None, :] > -jnp.inf),
+            lw[None, :] + trans,
+            -jnp.inf,
+        )
+    )
+    got = np.asarray(_backward_logits(params, cur, nxt, lw))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
