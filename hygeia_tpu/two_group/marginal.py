@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-from hygeia_tpu.two_group.model import State, TwoGroupParams, transition_log_prob
+from hygeia_tpu.two_group.model import State, TwoGroupParams
+from hygeia_tpu.two_group.backward import _backward_logits
 from hygeia_tpu.two_group.filter import _first_step, _one_step
 from hygeia_tpu.two_group.proposal import num_children
 
@@ -95,15 +96,11 @@ def run_marginal_filter(
         new_lw = new_lw - shift
         w_self = jnp.where(jnp.isfinite(new_lw), jnp.exp(new_lw), 0.0)
 
-        # Backward kernels over the full particle sets (N_new x N_prev).
-        prev_b = State(*(f[None, :] for f in prev_state))
-        new_b = State(*(f[:, None] for f in new_state))
-        trans = transition_log_prob(params, prev_b, new_b)  # (N_new, N_prev)
-        logB = jnp.where(
-            jnp.isfinite(trans) & (lw[None, :] > _NEG_INF),
-            lw[None, :].astype(trans.dtype) + trans,
-            _NEG_INF,
-        )
+        # Backward kernels over the full particle sets (N_new x N_prev) via
+        # the backward-specialised kernel (prev/next-only factors off the
+        # joint grid — see backward._backward_logits; at N x N this tree is
+        # the marginal filter's dominant per-step cost).
+        logB = _backward_logits(params, prev_state, new_state, lw)
         logBZ = logsumexp(logB, axis=1, keepdims=True)
         B = jnp.where(jnp.isfinite(logBZ), jnp.exp(logB - logBZ), 0.0).astype(
             jnp.float32

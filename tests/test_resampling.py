@@ -133,3 +133,27 @@ def test_keep_top_m():
     res = keep_top_m(jnp.asarray(lw), 3)
     np.testing.assert_array_equal(np.asarray(res.parent_indices), [1, 3, 4])
     np.testing.assert_allclose(np.asarray(res.new_log_weights), [3.0, 2.0, 0.0])
+
+
+def test_cumsum_fast_matches_cumsum():
+    """The blocked-matmul prefix sum must match np.cumsum exactly in f64 and
+    to f32 roundoff in f32, for sizes around/below/above the block size."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hygeia_tpu.ops.resampling import _cumsum_fast
+
+    rng = np.random.default_rng(0)
+    for n in (7, 128, 129, 300, 2400):
+        x64 = rng.random(n)
+        np.testing.assert_allclose(
+            np.asarray(_cumsum_fast(jnp.asarray(x64, jnp.float64))),
+            np.cumsum(x64),
+            rtol=1e-14,
+        )
+        x32 = x64.astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(_cumsum_fast(jnp.asarray(x32))),
+            np.cumsum(x64),
+            rtol=2e-5,
+        )
