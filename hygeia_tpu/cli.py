@@ -151,6 +151,10 @@ def build_parser():
     sp.add_argument("--learning_rate_exponent", type=float, default=0.1)
     sp.add_argument("--learning_rate_factor", type=float, default=0.01)
     sp.add_argument("--rng_seed", type=int, default=0)
+    sp.add_argument("--progress_every", type=int, default=1000,
+                    help="print engine progress every N sites, 0 = off "
+                         "(the reference prints every 1000, "
+                         "OnlineCombinedInference.h:77-85)")
 
     # ---- make_bed_file ----------------------------------------------------
     sp = sub.add_parser("make_bed_file")
@@ -372,6 +376,7 @@ def main(argv=None):
             learning_rate_exponent=args.learning_rate_exponent,
             learning_rate_factor=args.learning_rate_factor,
             rng_seed=args.rng_seed,
+            progress_every=args.progress_every,
             regime_probabilities_csv_file=args.regime_probabilities_csv_file,
             theta_trace_csv_file=args.theta_trace_csv_file,
             p_csv_file=args.p_csv_file,

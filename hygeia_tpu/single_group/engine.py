@@ -53,6 +53,10 @@ class EngineConfig(NamedTuple):
     learning_rate_factor: float = 0.01
     use_adam: bool = True
     normalise_gradients: bool = False
+    # Progress print every N sites, 0 = off (the reference prints every 1000
+    # SMC steps, OnlineCombinedInference.h:77-85). Static: when 0 no debug
+    # callback is traced into the scan at all.
+    progress_every: int = 0
 
 
 class EngineResult(NamedTuple):
@@ -236,6 +240,19 @@ def _prepare_engine(
     def step(carry, t):
         tables: ThetaTables = carry["tables"]
         d_prev, r_prev, w_prev = carry["d"], carry["r"], carry["w"]
+
+        if config.progress_every:
+            # Reference prints "Step t ..." every 1000 sites
+            # (OnlineCombinedInference.h:77-85); opt-in because the host
+            # callback forces a device sync at each firing.
+            jax.lax.cond(
+                t % config.progress_every == 0,
+                lambda tt: jax.debug.print(
+                    "single-group engine: step {}", tt, ordered=False
+                ),
+                lambda tt: None,
+                t,
+            )
 
         # Deterministic particle-count schedule (Smc.h:197-206).
         n_prev = jnp.minimum(R * t, N)

@@ -65,6 +65,7 @@ def estimate_parameters_and_regimes(
     theta_file="theta.csv",
     smoothing_window=128,
     weight_dtype=jnp.float32,
+    progress_every=0,
 ):
     """Mirror of bin/estimate_parameters_and_regimes:264-379."""
     mu = np.asarray(mu, np.float64)
@@ -102,6 +103,7 @@ def estimate_parameters_and_regimes(
         learning_rate_factor=learning_rate_factor,
         use_adam=use_adam,
         normalise_gradients=normalise_gradients,
+        progress_every=progress_every,
     )
     run = jax.jit(
         lambda key, E: run_online_combined_inference(
