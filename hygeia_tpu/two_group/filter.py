@@ -31,6 +31,7 @@ from hygeia_tpu.two_group.model import (
     State,
     TwoGroupParams,
     transition_log_prob,
+    paired_transition_log_prob,
     phantom_state,
 )
 from hygeia_tpu.two_group.proposal import expand_states, initial_states, num_children
@@ -402,8 +403,10 @@ def _one_step(
 
     # --- deterministic expansion + densities -------------------------------
     children = expand_states(anc, params.n_regimes)  # (I, M)
-    prev_b = State(*(f[None, :] for f in anc))
-    trans_lp = transition_log_prob(params, prev_b, children)  # (I, M)
+    # Paired-layout specialised density: ancestor-only factors computed once
+    # at (M,), ~half the (I, M)-grid ops of the generic branch tree
+    # (model.paired_transition_log_prob; equivalence tested).
+    trans_lp = paired_transition_log_prob(params, anc, children)  # (I, M)
     # Emission lookup as a one-hot select over the R-row of the table at
     # site t (avoids an (I, M)-shaped gather, slow on TPU).
     regs = jnp.arange(params.n_regimes)

@@ -303,6 +303,90 @@ def transition_log_prob(
     return lp_m + lp_c + lp_k
 
 
+def paired_transition_log_prob(params: "TwoGroupParams", anc: State, children: State):
+    """log f(children[i, m] | anc[m]) as (I, M) — the filter's paired layout.
+
+    Same restructuring as _backward_logits (prev-only factors computed once
+    at (M,), ~half the joint-grid ops of the generic density), but for
+    children PAIRED with their ancestor along the M axis instead of an outer
+    (B, N) product. Equivalence with transition_log_prob is covered by
+    tests/test_two_group_filter.py::test_paired_logits_matches_transition.
+    """
+    R = params.n_regimes
+    f32 = params.rho_case.dtype
+    NEG = _NEG_INF
+
+    def ind(c):
+        return jnp.where(c, 0.0, NEG)
+
+    # ---- ancestor-only (M,) -------------------------------------------------
+    rho_c = gather_rho(params.rho_control, anc.d_c, anc.r_c)
+    rho_k = gather_rho(params.rho_case, anc.d_k, anc.r_k)
+    log_rho_c, log1m_rho_c = jnp.log(rho_c), jnp.log1p(-rho_c)
+    log_rho_k, log1m_rho_k = jnp.log(rho_k), jnp.log1p(-rho_k)
+    gate = jnp.minimum(anc.d_k, anc.d_c) >= params.min_duration
+    lpm = params.log_p_merged
+    to0 = jnp.where(anc.m == 0, lpm[0, 0], lpm[1, 0])
+    to1 = jnp.where(anc.m == 0, lpm[0, 1], lpm[1, 1])
+    regs = jnp.arange(R)
+    safe = jnp.where(jnp.isfinite(params.log_p_control), params.log_p_control, -1e30)
+    oh_anc = (anc.r_c[:, None] == regs).astype(f32)  # (M, R)
+    rows = jax.lax.dot(oh_anc, safe, precision=jax.lax.Precision.HIGHEST)  # (M, R)
+
+    aM = lambda x: x[None, :]  # ancestor (M,) -> (1, M)
+
+    # ---- joint (I, M) --------------------------------------------------------
+    lp_m = jnp.where(
+        aM(gate),
+        jnp.where(children.m == 0, aM(to0), aM(to1)),
+        ind(children.m == aM(anc.m)),
+    )
+
+    # Control row value log_p[anc.r_c[m], children.r_c[i, m]]: one-hot select
+    # over the precomputed rows (exact; avoids an (I, M)-keyed gather).
+    oh_ch = (children.r_c[..., None] == regs).astype(f32)  # (I, M, R)
+    lp_p_raw = jnp.sum(rows[None, :, :] * oh_ch, axis=-1)
+    lp_p_ctrl = jnp.where(lp_p_raw <= -1e29, NEG, lp_p_raw)
+    lp_c = jnp.where(
+        children.d_c == 1,
+        aM(log_rho_c) + lp_p_ctrl,
+        aM(log1m_rho_c)
+        + ind(aM(anc.d_c) == children.d_c - 1)
+        + ind(aM(anc.r_c) == children.r_c),
+    )
+
+    lp_a = ind((children.r_k == children.r_c) & (children.d_k == children.d_c))
+    lp_unif_not_c = ind(children.r_k != children.r_c) - jnp.log(float(R - 1))
+    lp_b = lp_unif_not_c + ind(children.d_k == 1)
+    log_n_opts = jnp.where(
+        children.r_c != aM(anc.r_k),
+        jnp.log(jnp.asarray(R - 2, f32)),
+        jnp.log(jnp.asarray(R - 1, f32)),
+    )
+    lp_unif2 = (
+        ind(children.r_k != children.r_c)
+        + ind(children.r_k != aM(anc.r_k))
+        - log_n_opts
+    )
+    lp_cbr = ind(children.d_k == 1) + lp_unif2
+    lp_d = jnp.where(
+        children.d_k == 1,
+        aM(log_rho_k) + lp_unif2,
+        aM(log1m_rho_k)
+        + ind(aM(anc.d_k + 1) == children.d_k)
+        + ind(aM(anc.r_k) == children.r_k),
+    )
+    in_b = aM(anc.m == 1) & (children.d_c != 1)
+    in_c = (children.r_c == aM(anc.r_k)) & aM(anc.m == 0)
+    lp_k = jnp.where(
+        children.m == 1,
+        lp_a,
+        jnp.where(in_b, lp_b, jnp.where(in_c, lp_cbr, lp_d)),
+    )
+    return lp_m + lp_c + lp_k
+
+
+
 def phantom_state(phantom_regime, batch_shape=()):
     """The phantom previous state used for the initial distribution
     (intitial_state_dist, case_control_regime_model.py:234-244): merged, with

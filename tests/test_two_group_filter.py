@@ -242,3 +242,34 @@ def test_backward_logits_matches_transition():
     )
     got = np.asarray(_backward_logits(params, cur, nxt, lw))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_paired_logits_matches_transition():
+    """The paired-layout specialised density (model.paired_transition_log_
+    prob) must equal transition_log_prob(anc[None,:], children) exactly on
+    random ancestors and their deterministic expansions (incl. padding)."""
+    from hygeia_tpu.two_group.model import paired_transition_log_prob
+    from hygeia_tpu.two_group.proposal import expand_states
+
+    params = default_params(d_max=64)
+    R = params.n_regimes
+    rng = np.random.default_rng(1)
+    M = 23
+
+    m = rng.integers(0, 2, M)
+    d_c = rng.integers(1, 40, M)
+    r_c = rng.integers(0, R, M)
+    d_k = np.where(m == 1, d_c, rng.integers(1, 40, M))
+    r_k = np.where(m == 1, r_c, rng.integers(0, R, M))
+    dead = rng.random(M) < 0.2
+    f = lambda x: jnp.asarray(np.where(dead, -1, x), jnp.int32)
+    anc = State(f(m), f(d_c), f(r_c), f(d_k), f(r_k))
+    children = expand_states(anc, R)  # (I, M)
+
+    prev_b = State(*(fld[None, :] for fld in anc))
+    want = np.asarray(transition_log_prob(params, prev_b, children))
+    got = np.asarray(paired_transition_log_prob(params, anc, children))
+    live = ~np.broadcast_to(dead[None, :], want.shape)
+    np.testing.assert_allclose(
+        np.where(live, got, 0.0), np.where(live, want, 0.0), rtol=1e-6, atol=1e-6
+    )
