@@ -46,6 +46,15 @@ def main():
 
         jax.config.update("jax_platforms", os.environ["HYGEIA_PLATFORM"])
     import jax
+
+    # Persistent compile cache: the remote TPU compile service's latency
+    # swings minutes-to-an-hour under congestion; compilation is not part of
+    # the measured quantity (REPS run after a warm-up call).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("HYGEIA_COMPILE_CACHE", "/root/repo/.jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
     from hygeia_tpu.two_group.model import make_params
