@@ -199,6 +199,15 @@ def build_parser():
     sp.add_argument("--no_resume", action="store_true")
     sp.add_argument("--stub_run", action="store_true",
                     help="wire the DAG with empty outputs (Nextflow -stub-run analog)")
+    sp.add_argument("--mesh", default=None, metavar="GxS",
+                    help="run INFER on a (genome x seed) device mesh, e.g. "
+                         "4x2 — all (batch x seed) units of a chromosome in "
+                         "one pjit'd program (the TPU-native form of the "
+                         "reference's Nextflow task fan-out, main.nf:44-75)")
+    sp.add_argument("--boundary", default="halo", choices=["halo", "exchange"],
+                    help="meshed-INFER block-join scheme: halo buffers "
+                         "(reference-like) or exact ppermute boundary "
+                         "messages")
 
     # ---- simulate_two_groups ----------------------------------------------
     sp = sub.add_parser("simulate_two_groups")
@@ -438,6 +447,12 @@ def main(argv=None):
             resume=not args.no_resume,
             stub_run=args.stub_run,
             max_retries=args.max_retries,
+            mesh_shape=(
+                tuple(int(x) for x in args.mesh.lower().split("x"))
+                if args.mesh
+                else None
+            ),
+            boundary=args.boundary,
         )
         print(f"pipeline complete: {args.output_dir}")
 

@@ -74,6 +74,7 @@ def sharded_two_group_inference(
     weight_dtype=jnp.float32,
     boundary="halo",
     phantom_regime=None,
+    emission_table_fn=None,
 ):
     """Run the whole chromosome across the mesh.
 
@@ -90,7 +91,13 @@ def sharded_two_group_inference(
     trajectory states right-to-left, so block joins are marginally
     consistent instead of halo-approximate. log_z then has shape
     (n_genome, n_seeds) — one entry per device window.
+
+    emission_table_fn(n_meth, n_total, alpha, beta) -> (T, R) overrides the
+    standard BetaBinomial table — the robust (beta-divergence) emission
+    variant plugs in here (ops/emissions.robust_emission_log_prob_table).
     """
+    if emission_table_fn is None:
+        emission_table_fn = emission_log_prob_table
     if boundary == "exchange":
         return _exchange_two_group_inference(
             mesh,
@@ -107,6 +114,7 @@ def sharded_two_group_inference(
             base_key=base_key,
             weight_dtype=weight_dtype,
             phantom_regime=phantom_regime,
+            emission_table_fn=emission_table_fn,
         )
     if boundary != "halo":
         raise ValueError(f"unknown boundary scheme: {boundary!r}")
@@ -177,7 +185,7 @@ def sharded_two_group_inference(
     @jax.jit
     def tables(mc, tc, mk, tk):
         f = jax.vmap(
-            lambda m, t: emission_log_prob_table(m, t, params.alpha, params.beta)
+            lambda m, t: emission_table_fn(m, t, params.alpha, params.beta)
         )
         return f(mc, tc), f(mk, tk)
 
@@ -206,6 +214,7 @@ def _exchange_two_group_inference(
     base_key,
     weight_dtype,
     phantom_regime=None,
+    emission_table_fn=None,
 ):
     """Exact boundary-exchange block-parallel smoothing (SURVEY.md s7 step 5 v2).
 
@@ -339,10 +348,13 @@ def _exchange_two_group_inference(
         log_z = res.log_normalizing_constant[None, :]  # (1, spd)
         return traj, log_z
 
+    if emission_table_fn is None:
+        emission_table_fn = emission_log_prob_table
+
     @jax.jit
     def tables(mc, tc, mk, tk):
         f = jax.vmap(
-            lambda m, t: emission_log_prob_table(m, t, params.alpha, params.beta)
+            lambda m, t: emission_table_fn(m, t, params.alpha, params.beta)
         )
         return f(mc, tc), f(mk, tk)
 

@@ -29,7 +29,14 @@ def aggregate_chromosome(
     .py:71-85 breaks at the first absent batch dir). skip_missing=True keeps
     going — the orchestrator uses it so one INFER unit that failed after all
     retries (errorStrategy ignore, nextflow.config:23-27) does not discard
-    every later batch of the chromosome."""
+    every later batch of the chromosome.
+
+    Unit completion is keyed on the backward-particle archives, NOT on
+    positions.csv.gz: infer_segment writes the trimmed input CSVs *before*
+    inference runs, so a unit that died mid-compute (the OOM scenario the
+    retry/ignore strategy targets) leaves positions.csv.gz present with no
+    npz outputs — skip_missing must treat that as a missing batch rather
+    than crash the AGGREGATE stage."""
     os.makedirs(output_dir, exist_ok=True)
     N = num_particles
 
@@ -57,7 +64,30 @@ def aggregate_chromosome(
             if skip_missing:
                 continue
             break
-        positions = pd.read_table(pos_file, sep=",", header=None, dtype=np.int64)
+        if skip_missing:
+            # The archives are written only after inference succeeds; a unit
+            # ignored after all retries may have the early input CSVs but no
+            # archives. (With skip_missing=False a half-written unit raises,
+            # like the reference's np.load would.)
+            archives = [
+                os.path.join(
+                    data_dir,
+                    f"optimal_backward_particles_{kind}_state_{N}_{seed}.npz",
+                )
+                for seed in range(seeds)
+                for kind in ("merged", "control", "case")
+            ]
+            if not all(os.path.isfile(p) for p in archives):
+                continue
+        try:
+            positions = pd.read_table(pos_file, sep=",", header=None, dtype=np.int64)
+        except pd.errors.EmptyDataError:
+            # A zero-site batch: the reference's n_batches = 1 + n // S
+            # convention (get_chrom_segments.py) creates an empty trailing
+            # batch whenever the chromosome length is an exact multiple of
+            # segment_size; its input files are empty. Zero rows, not a
+            # failure — skip it in both modes.
+            continue
 
         merged_seeds, ctrl_seeds, case_seeds = [], [], []
         for seed in range(seeds):

@@ -224,6 +224,8 @@ def run_two_group(
     rng_seed=0,
     stub_run=False,
     max_retries=5,
+    mesh_shape=None,
+    boundary="halo",
 ):
     """Full two-group pipeline for a list of chromosomes.
 
@@ -233,6 +235,15 @@ def run_two_group(
     stub_run=True wires the DAG without computation (the Nextflow
     `-stub-run` analog: every module has a stub block emitting empty
     outputs, e.g. modules/two_group/4_infer.nf:60-71).
+
+    mesh_shape=(n_genome, n_seed): run the INFER stage on a device mesh —
+    all (batch x seed) work units of a chromosome in ONE pjit'd program
+    (parallel/sharded.py) instead of the sequential per-batch loop. This is
+    the TPU-native form of the reference's Nextflow task fan-out
+    (main.nf:44-75). `boundary` selects halo (reference-like buffered
+    windows) or exchange (exact ppermute boundary messages). Downstream
+    stages (AGGREGATE_RESULTS, GET_DMPS) are untouched: the meshed INFER
+    writes the same per-(batch, seed) file set.
     """
     out = Path(output_dir)
     R = len(mu)
@@ -325,7 +336,45 @@ def run_two_group(
         from hygeia_tpu.two_group.runner import infer_segment
 
         any_unit_failed = False
-        for batch in range(n_batches):
+        if mesh_shape is not None:
+            # Meshed INFER: the whole chromosome's (batch x seed) grid in one
+            # device program. One work unit -> one marker/retry scope.
+            from hygeia_tpu.two_group.runner import infer_chromosome_meshed
+
+            unit = infer_dir / f"unit_{chrom}_meshed"
+            if not _stage(unit, resume):
+                trace.record("INFER[mesh]", chrom, 0.0, skipped=True)
+            else:
+
+                def _infer_meshed(attempt):
+                    infer_chromosome_meshed(
+                        data_dir=str(pre_dir),
+                        single_group_dir=str(sg_dir),
+                        results_dir=str(infer_dir),
+                        chrom=chrom,
+                        mesh_shape=mesh_shape,
+                        boundary=boundary,
+                        seed=list(inference_seeds),
+                        segment_size=segment_size,
+                        buffer_size=buffer_size,
+                        mu=mu,
+                        sigma=sigma,
+                        minimum_duration=u,
+                        num_resampled_particles=(num_resampled_particles,),
+                        num_samples_backward=num_samples_backward,
+                        rng_seed=rng_seed,
+                    )
+                    _finish(unit)
+
+                ok = _attempt(
+                    _infer_meshed,
+                    trace=trace,
+                    stage="INFER[mesh]",
+                    chrom=chrom,
+                    max_retries=max_retries,
+                )
+                any_unit_failed |= not ok
+        for batch in range(n_batches) if mesh_shape is None else ():
             # All seeds of a batch run vmapped in one device program.
             unit = infer_dir / f"unit_{chrom}_{batch}"
             if not _stage(unit, resume):

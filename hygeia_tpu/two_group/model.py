@@ -311,6 +311,14 @@ def paired_transition_log_prob(params: "TwoGroupParams", anc: State, children: S
     children PAIRED with their ancestor along the M axis instead of an outer
     (B, N) product. Equivalence with transition_log_prob is covered by
     tests/test_two_group_filter.py::test_paired_logits_matches_transition.
+
+    PRECONDITION (live ancestors only): unlike transition_log_prob, the
+    one-hot row lookups here drop _lookup_log_p's dead-index guard — a
+    padding ancestor (regime -1) yields an all-zero one-hot and a row of
+    0.0 instead of -inf. Every caller must mask dead ancestor slots via
+    -inf weights (the filter does: dead parents propagate -inf through the
+    weight update), so the kernel is NOT drop-in equivalent to
+    transition_log_prob on padded states.
     """
     R = params.n_regimes
     f32 = params.rho_case.dtype

@@ -336,6 +336,246 @@ def infer_segment(
     return all_log_norm if len(seeds) > 1 else all_log_norm[seeds[0]]
 
 
+def infer_chromosome_meshed(
+    *,
+    data_dir,
+    single_group_dir,
+    results_dir,
+    chrom,
+    mesh_shape,  # (n_genome, n_seed_mesh)
+    boundary="halo",
+    seed=(0, 1),
+    segment_size=100000,
+    buffer_size=5000,
+    mu=DEFAULT_MU,
+    sigma=DEFAULT_SIGMA,
+    minimum_duration=3,
+    omega_case=0.8,
+    merge_log_prob=np.log(0.1),
+    split_prob=0.01,
+    num_resampled_particles=(50,),
+    num_samples_backward=25,
+    robust=False,
+    robust_beta=0.05,
+    weight_dtype=jnp.float32,
+    rng_seed=0,
+):
+    """Whole-chromosome INFER stage on a (genome x seed) device mesh.
+
+    The TPU-native expression of the reference's (segment x seed) Nextflow
+    task fan-out (main.nf:44-75): every (batch, seed) work unit of the
+    chromosome runs concurrently inside ONE pjit'd program via
+    parallel/sharded.sharded_two_group_inference, instead of the sequential
+    per-batch loop infer_segment serves. Outputs are written per
+    (batch, seed) with infer_segment's exact file names and layouts, so
+    AGGREGATE_RESULTS and GET_DMPS consume them unchanged.
+
+    Deviations from the sequential path (documented in PARITY.md):
+    * RNG streams are per-(block, seed) fold-ins, so outputs are
+      statistically equivalent but not byte-equal to infer_segment's.
+    * boundary="halo" uses symmetric zero-padded halos (the reference's
+      first/last windows are asymmetric); boundary="exchange" replaces the
+      halo approximation with exact ppermute boundary messages, and the
+      per-batch logZ file then records the enclosing device window's logZ.
+    * optimal_time_{seed}.txt records the mesh dispatch wall time divided by
+      the number of work units (per-unit timing does not exist in a fused
+      program); optimal_time_backward is reported as 0.
+    """
+    import jax.sharding
+    import time as _time
+
+    from hygeia_tpu.parallel.sharded import sharded_two_group_inference
+
+    mu = np.asarray(mu, np.float64)
+    R = len(mu)
+    n_genome, n_seed_mesh = mesh_shape
+    devices = jax.devices()
+    if len(devices) < n_genome * n_seed_mesh:
+        raise ValueError(
+            f"mesh {n_genome}x{n_seed_mesh} needs {n_genome * n_seed_mesh} "
+            f"devices, have {len(devices)}"
+        )
+    mesh = jax.sharding.Mesh(
+        np.asarray(devices[: n_genome * n_seed_mesh]).reshape(
+            n_genome, n_seed_mesh
+        ),
+        ("genome", "seed"),
+    )
+
+    theta = hio.read_theta(os.path.join(single_group_dir, f"theta_{chrom}.csv.gz"))
+    p_softmax, omega_logit_control = hio.theta_file_to_p_softmax(theta, R)
+    positions = hio.read_positions(
+        os.path.join(data_dir, f"positions_{chrom}.txt.gz")
+    )
+    T = len(positions)
+
+    def _load(name):
+        return hio.read_count_matrix(os.path.join(data_dir, f"{name}_{chrom}.txt.gz"))
+
+    n_total_control = _load("n_total_reads_control")
+    n_meth_control = _load("n_methylated_reads_control")
+    n_total_case = _load("n_total_reads_case")
+    n_meth_case = _load("n_methylated_reads_case")
+    assert np.sum(n_total_case < n_meth_case) == 0
+    assert np.sum(n_total_control < n_meth_control) == 0
+
+    # d_max covers the whole chromosome: exchange-mode warm starts carry
+    # durations across block joins, so sojourns are bounded by T, not by the
+    # block window.
+    params = make_params(
+        mu=mu,
+        sigma=sigma,
+        p_softmax_control=p_softmax,
+        omega_logit_control=omega_logit_control,
+        omega_case=omega_case,
+        kappa_control=np.full(R, 2.0),
+        kappa_case=np.full(R, 2.0),
+        merge_log_prob=merge_log_prob,
+        split_prob=split_prob,
+        minimum_duration=minimum_duration,
+        d_max=max(64, T + 1),
+    )
+    emission_table_fn = None
+    if robust:
+        from hygeia_tpu.ops.emissions import robust_emission_log_prob_table
+
+        def emission_table_fn(m, t, alpha, beta):
+            return robust_emission_log_prob_table(m, t, alpha, beta, robust_beta)
+
+    seeds = [seed] if np.isscalar(seed) else list(seed)
+    n_batches = 1 + T // segment_size
+    B = num_samples_backward
+    all_log_norm = {s: {} for s in seeds}
+    times = {s: {} for s in seeds}
+
+    for M in num_resampled_particles:
+        N = M * (2 * R + R * R)
+        t0 = _time.time()
+        traj, log_z = sharded_two_group_inference(
+            mesh,
+            params,
+            n_meth_control,
+            n_total_control,
+            n_meth_case,
+            n_total_case,
+            segment_size=segment_size,
+            buffer_size=buffer_size,
+            num_resampled_ancestors=M,
+            num_samples_backward=B,
+            seeds=seeds,
+            base_key=rng_seed,
+            weight_dtype=weight_dtype,
+            boundary=boundary,
+            emission_table_fn=emission_table_fn,
+        )
+        wall = _time.time() - t0
+        per_unit = wall / max(1, n_batches * len(seeds))
+        # traj: (n_blocks*segment_size, n_seeds*B, 5); log_z (halo):
+        # (n_blocks, n_seeds) or (exchange): (n_genome, n_seeds).
+        bpd = (traj.shape[0] // segment_size) // log_z.shape[0]
+
+        for batch in range(n_batches):
+            lo = batch * segment_size
+            hi = min((batch + 1) * segment_size, T)
+            path = os.path.join(results_dir, f"chrom_{chrom}_{batch}")
+            os.makedirs(path, exist_ok=True)
+            rows = slice(lo, hi)
+            hio.write_count_matrix(
+                os.path.join(path, "observations_control.csv.gz"),
+                n_meth_control.astype(np.int16)[rows],
+            )
+            hio.write_count_matrix(
+                os.path.join(path, "observations_case.csv.gz"),
+                n_meth_case.astype(np.int16)[rows],
+            )
+            hio.write_count_matrix(
+                os.path.join(path, "n_total_reads_control.csv.gz"),
+                n_total_control.astype(np.int16)[rows],
+            )
+            hio.write_count_matrix(
+                os.path.join(path, "n_total_reads_case.csv.gz"),
+                n_total_case.astype(np.int16)[rows],
+            )
+            hio.write_count_matrix(
+                os.path.join(path, "positions.csv.gz"), positions[rows]
+            )
+            traj_b = traj[rows]  # (hi-lo, n_seeds*B, 5)
+            if boundary == "exchange":
+                lz_row = log_z[min(batch // max(bpd, 1), log_z.shape[0] - 1)]
+            else:
+                lz_row = log_z[min(batch, log_z.shape[0] - 1)]
+            for i, s in enumerate(seeds):
+                tb = traj_b[:, i * B : (i + 1) * B]
+                np.savez_compressed(
+                    os.path.join(
+                        path, f"optimal_backward_particles_merged_state_{N}_{s}"
+                    ),
+                    tb[:, :, 0].astype(np.int16),
+                )
+                np.savez_compressed(
+                    os.path.join(
+                        path, f"optimal_backward_particles_control_state_{N}_{s}"
+                    ),
+                    tb[:, :, 1:3].astype(np.int32),
+                )
+                np.savez_compressed(
+                    os.path.join(
+                        path, f"optimal_backward_particles_case_state_{N}_{s}"
+                    ),
+                    tb[:, :, 3:5].astype(np.int32),
+                )
+                split_s = (tb[:, :, 0] == 0).mean(axis=1).astype(np.float32)
+                regime_s = np.concatenate(
+                    [
+                        np.stack(
+                            [(tb[:, :, 2] == r).mean(axis=1) for r in range(R)], -1
+                        ),
+                        np.stack(
+                            [(tb[:, :, 4] == r).mean(axis=1) for r in range(R)], -1
+                        ),
+                    ],
+                    axis=-1,
+                ).astype(np.float32)
+                np.savez_compressed(
+                    os.path.join(path, f"optimal_split_probs_{N}_{s}"), split_s
+                )
+                np.savez_compressed(
+                    os.path.join(path, f"optimal_regime_probs_{N}_{s}"), regime_s
+                )
+                all_log_norm[s].setdefault(batch, {})[N] = float(lz_row[i])
+                times[s].setdefault(batch, {})[N] = per_unit
+
+    flags = {
+        "chrom": str(chrom), "segment_size": segment_size,
+        "buffer_size": buffer_size, "mu": list(map(float, mu)),
+        "sigma": list(map(float, np.asarray(sigma, np.float64))),
+        "minimum_duration": minimum_duration, "omega_case": omega_case,
+        "merge_log_prob": float(merge_log_prob), "split_prob": split_prob,
+        "num_resampled_particles": list(num_resampled_particles),
+        "num_samples_backward": num_samples_backward,
+        "robust": robust, "mesh": f"{n_genome}x{n_seed_mesh}",
+        "boundary": boundary,
+    }
+    for batch in range(n_batches):
+        path = os.path.join(results_dir, f"chrom_{chrom}_{batch}")
+        for s in seeds:
+            with open(os.path.join(path, f"flags{s}.txt"), "w") as f:
+                for k, v in {**flags, "batch": batch, "seed": s}.items():
+                    print(f"--{k}={v}", file=f)
+            with open(
+                os.path.join(path, f"log_normalizing_constants_optimal_{s}.txt"),
+                "w",
+            ) as f:
+                print(all_log_norm[s][batch], file=f)
+            with open(os.path.join(path, f"optimal_time_{s}.txt"), "w") as f:
+                print(times[s][batch], file=f)
+            with open(
+                os.path.join(path, f"optimal_time_backward_{s}.txt"), "w"
+            ) as f:
+                print({n: 0.0 for n in times[s][batch]}, file=f)
+    return all_log_norm
+
+
 def _run_marginal_m(
     path, seeds, seeds_per_call, params, E_c, E_k, M, N, R, ret,
     epsilon, window, weight_dtype, all_log_norm, times, maybe_trace,

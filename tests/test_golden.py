@@ -42,7 +42,11 @@ def _compare_file(exp: Path, got: Path):
                 np.testing.assert_array_equal(g[k], e[k], err_msg=str(exp))
             else:
                 np.testing.assert_allclose(g[k], e[k], rtol=1e-12, atol=0, err_msg=str(exp))
-    elif exp.name.endswith(".csv.gz") or exp.suffix in (".csv", ".txt"):
+    elif exp.suffix == ".txt":
+        # flags txt / logZ dicts: exact text (before the CSV branch — .txt
+        # previously fell through to the lenient CSV fallback).
+        assert got.read_text() == exp.read_text(), exp
+    elif exp.name.endswith(".csv.gz") or exp.suffix == ".csv":
         opener = gzip.open if exp.name.endswith(".gz") else open
         with opener(exp, "rt") as f:
             e_text = f.read()
@@ -52,10 +56,7 @@ def _compare_file(exp: Path, got: Path):
             # Fall back to numeric comparison (formatting-stable, value-exact).
             e_df = pd.read_csv(exp, sep=None, engine="python")
             g_df = pd.read_csv(got, sep=None, engine="python")
-            pd.testing.assert_frame_equal(g_df, e_df, check_exact=True), str(exp)
-    # other extensions (flags txt / logZ dicts): compare as text
-    elif exp.suffix == ".txt":
-        assert got.read_text() == exp.read_text(), exp
+            pd.testing.assert_frame_equal(g_df, e_df, check_exact=True, obj=str(exp))
 
 
 def test_pipeline_outputs_match_golden(regenerated):

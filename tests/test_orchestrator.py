@@ -203,18 +203,34 @@ def test_infer_unit_failure_is_retried_then_ignored(tmp_path, monkeypatch):
     """errorStrategy retry/ignore (nextflow.config:23-27): an INFER unit that
     fails every attempt must not kill the chromosome — later batches still
     aggregate, a transiently-failing unit succeeds on retry, and trace.tsv
-    records attempts."""
+    records attempts.
+
+    Batch 1's persistent failure is injected MID-COMPUTE (inside the backward
+    dispatch), i.e. AFTER infer_segment has already written positions.csv.gz
+    and the trimmed input CSVs — the OOM shape the retry/ignore strategy
+    targets. AGGREGATE must key unit completion on the npz archives, not the
+    early input files (ADVICE r2)."""
     from hygeia_tpu.pipeline.orchestrator import run_two_group
     import hygeia_tpu.two_group.runner as runner_mod
 
     pre = _write_two_group_fixture(tmp_path)
 
     real_infer = runner_mod.infer_segment
+    real_backward = runner_mod.backward_simulation
     calls = {"batch0": 0}
 
     def flaky_infer(**kw):
         if kw["batch"] == 1:
-            raise ValueError("injected persistent failure")
+            # Fail after the early input-CSV writes: run the real unit but
+            # blow up in the backward pass.
+            def boom(*a, **k):
+                raise ValueError("injected mid-compute failure")
+
+            runner_mod.backward_simulation = boom
+            try:
+                return real_infer(**kw)
+            finally:
+                runner_mod.backward_simulation = real_backward
         if kw["batch"] == 0:
             calls["batch0"] += 1
             if calls["batch0"] == 1:
@@ -348,3 +364,101 @@ def test_stub_run(tmp_path):
     assert "<h2>" in (out / "timeline.html").read_text()
     assert "<table>" in (out / "report.html").read_text()
     assert "digraph" in (out / "dag.dot").read_text()
+
+
+def test_meshed_infer_matches_sequential_format(tmp_path):
+    """VERDICT r2 #1: `hygeia run` with mesh_shape maps the INFER stage onto
+    parallel/sharded.sharded_two_group_inference (batches -> "genome" axis,
+    seeds -> "seed") instead of the sequential per-batch loop, writing the
+    same per-batch output files so AGGREGATE and GET_DMPS are untouched.
+
+    Asserts: identical file SETS per INFER unit and per downstream stage,
+    identical positions index and table shapes in the aggregates, identical
+    DMP columns — and statistically-consistent split probabilities (the RNG
+    streams differ by design, PARITY.md)."""
+    import shutil
+
+    from hygeia_tpu.pipeline.orchestrator import run_two_group
+
+    pre = _write_two_group_fixture(tmp_path)
+    kw = dict(
+        chroms=["cF"],
+        preprocessed_dir=pre,
+        segment_size=60,
+        buffer_size=25,
+        inference_seeds=(0, 1),
+        num_resampled_particles=6,
+        num_samples_backward=8,
+        n_particles_single_group=30,
+        max_retries=0,
+    )
+    out_seq = run_two_group(output_dir=tmp_path / "seq", **kw)
+    # Reuse the (deterministic, identical) single-group estimate so the mesh
+    # run only re-executes INFER onward.
+    (tmp_path / "mesh").mkdir()
+    shutil.copytree(
+        out_seq / "2_ESTIMATE_PARAMETERS_AND_REGIMES",
+        tmp_path / "mesh" / "2_ESTIMATE_PARAMETERS_AND_REGIMES",
+    )
+    out_mesh = run_two_group(
+        output_dir=tmp_path / "mesh", mesh_shape=(4, 2), **kw
+    )
+
+    # INFER unit dirs: same per-batch file sets.
+    for b in range(3):
+        seq_d = out_seq / "4_INFER" / f"chrom_cF_{b}"
+        mesh_d = out_mesh / "4_INFER" / f"chrom_cF_{b}"
+        seq_files = sorted(p.name for p in seq_d.iterdir())
+        mesh_files = sorted(p.name for p in mesh_d.iterdir())
+        assert seq_files == mesh_files, (b, seq_files, mesh_files)
+        # Archive shapes match exactly (same windows). split/regime prob
+        # npzs: the reference (and our sequential path) write those UNtrimmed
+        # over the buffered window (run_inference_two_groups.py:311-316);
+        # the meshed path has no per-batch buffer rows, so they come trimmed
+        # to the segment (PARITY.md). They are not consumed downstream.
+        for name in seq_files:
+            if not name.endswith(".npz"):
+                continue
+            e = np.load(seq_d / name)["arr_0"]
+            g = np.load(mesh_d / name)["arr_0"]
+            if "split_probs" in name or "regime_probs" in name:
+                n_ret = 60 if b < 2 else 50
+                assert g.shape[0] == n_ret, (name, g.shape)
+            else:
+                assert e.shape == g.shape, (name, e.shape, g.shape)
+                assert e.dtype == g.dtype, (name, e.dtype, g.dtype)
+
+    # Aggregates: same file set, identical positions index, same shapes.
+    seq_agg = out_seq / "5_AGGREGATE_RESULTS" / "cF"
+    mesh_agg = out_mesh / "5_AGGREGATE_RESULTS" / "cF"
+    seq_files = sorted(p.name for p in seq_agg.iterdir() if p.name != ".done")
+    mesh_files = sorted(p.name for p in mesh_agg.iterdir() if p.name != ".done")
+    assert seq_files == mesh_files
+    for name in seq_files:
+        e = pd.read_csv(seq_agg / name, sep="\t", index_col=0)
+        g = pd.read_csv(mesh_agg / name, sep="\t", index_col=0)
+        assert e.shape == g.shape, name
+        np.testing.assert_array_equal(e.index, g.index, err_msg=name)
+        # Inputs (counts) pass through both paths byte-identically.
+        if "reads" in name or "meth" in name:
+            pd.testing.assert_frame_equal(e, g, check_exact=True, obj=name)
+
+    # Split probabilities agree statistically (different RNG streams; 2
+    # seeds x 8 backward samples per path).
+    e = pd.read_csv(seq_agg / "split_probs_cF.csv.gz", sep="\t", index_col=0)
+    g = pd.read_csv(mesh_agg / "split_probs_cF.csv.gz", sep="\t", index_col=0)
+    assert float(np.abs(e.values - g.values).mean()) < 0.2
+
+    # DMP stage: same file set and columns.
+    seq_dmp = out_seq / "6_GET_DMPS" / "cF"
+    mesh_dmp = out_mesh / "6_GET_DMPS" / "cF"
+    seq_files = sorted(p.name for p in seq_dmp.iterdir() if p.name != ".done")
+    mesh_files = sorted(p.name for p in mesh_dmp.iterdir() if p.name != ".done")
+    assert seq_files == mesh_files
+    for name in seq_files:
+        e = pd.read_csv(seq_dmp / name)
+        g = pd.read_csv(mesh_dmp / name)
+        assert list(e.columns) == list(g.columns), name
+
+    trace = pd.read_csv(out_mesh / "trace.tsv", sep="\t")
+    assert (trace.stage == "INFER[mesh]").any()

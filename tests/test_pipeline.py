@@ -287,3 +287,90 @@ def test_single_group_cli_roundtrip(tmp_path):
     est = probs[[f"regime_{i+1}" for i in range(6)]].to_numpy().argmax(1)
     acc = np.mean(est == true_regimes)
     assert acc > 0.7, acc
+
+
+def test_aggregate_skips_zero_site_batch(tmp_path):
+    """The reference's n_batches = 1 + n // S convention creates an EMPTY
+    trailing batch whenever the chromosome length is an exact multiple of
+    segment_size (get_chrom_segments.py); its per-unit input files are empty.
+    aggregate must treat it as zero rows, not crash with EmptyDataError —
+    and must also skip (skip_missing=True) a unit that died mid-compute,
+    leaving input CSVs but no archives (ADVICE r2)."""
+    import numpy as np
+
+    from hygeia_tpu.pipeline.aggregate import aggregate_chromosome
+    from hygeia_tpu.utils import io as hio
+
+    res = tmp_path / "res"
+    N, B, T0 = 12, 4, 7
+    rng = np.random.default_rng(0)
+
+    # batch 0: complete tiny unit
+    d0 = res / "chrom_cZ_0"
+    d0.mkdir(parents=True)
+    hio.write_count_matrix(d0 / "positions.csv.gz", np.arange(1, T0 + 1) * 5)
+    for name in (
+        "observations_control.csv.gz",
+        "observations_case.csv.gz",
+        "n_total_reads_control.csv.gz",
+        "n_total_reads_case.csv.gz",
+    ):
+        hio.write_count_matrix(d0 / name, rng.integers(0, 9, (T0, 2)))
+    np.savez_compressed(
+        d0 / f"optimal_backward_particles_merged_state_{N}_0",
+        rng.integers(0, 2, (T0, N)).astype(np.int16),
+    )
+    np.savez_compressed(
+        d0 / f"optimal_backward_particles_control_state_{N}_0",
+        rng.integers(0, 6, (T0, N, 2)).astype(np.int32),
+    )
+    np.savez_compressed(
+        d0 / f"optimal_backward_particles_case_state_{N}_0",
+        rng.integers(0, 6, (T0, N, 2)).astype(np.int32),
+    )
+
+    # batch 1: zero-site batch (empty files, like a T % S == 0 tail)
+    d1 = res / "chrom_cZ_1"
+    d1.mkdir()
+    for name in (
+        "positions.csv.gz",
+        "observations_control.csv.gz",
+        "observations_case.csv.gz",
+        "n_total_reads_control.csv.gz",
+        "n_total_reads_case.csv.gz",
+    ):
+        hio.write_count_matrix(d1 / name, np.zeros((0,)))
+
+    # batch 2: died mid-compute — input CSVs present, archives missing
+    d2 = res / "chrom_cZ_2"
+    d2.mkdir()
+    hio.write_count_matrix(d2 / "positions.csv.gz", np.arange(1, 4) * 1000)
+    for name in (
+        "observations_control.csv.gz",
+        "observations_case.csv.gz",
+        "n_total_reads_control.csv.gz",
+        "n_total_reads_case.csv.gz",
+    ):
+        hio.write_count_matrix(d2 / name, rng.integers(0, 9, (3, 2)))
+
+    out = tmp_path / "agg"
+    n = aggregate_chromosome(
+        str(res), str(out), "cZ", seeds=1, num_particles=N,
+        num_batches=3, skip_missing=True,
+    )
+    assert n == 1
+    import pandas as pd
+
+    split = pd.read_csv(out / "split_probs_cZ.csv.gz", sep="\t", index_col=0)
+    assert len(split) == T0
+
+    # skip_missing=False: the zero-site batch is still skipped (it is not a
+    # missing batch), and the mid-compute corpse then raises like the
+    # reference's np.load would.
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        aggregate_chromosome(
+            str(res), str(tmp_path / "agg2"), "cZ", seeds=1,
+            num_particles=N, num_batches=3, skip_missing=False,
+        )

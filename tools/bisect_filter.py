@@ -157,6 +157,46 @@ def main():
         finally:
             filter_mod.transition_log_prob = orig_t
 
+    if want("no_paired_transition"):
+        orig_pt = filter_mod.paired_transition_log_prob
+
+        def fake_paired(params_, anc, children):
+            shape = children.m.shape
+            return jnp.zeros(shape, params_.rho_case.dtype)
+
+        filter_mod.paired_transition_log_prob = fake_paired
+        try:
+            timeit("no_paired_transition", jit_filter(), keys, E_c, E_k)
+        finally:
+            filter_mod.paired_transition_log_prob = orig_pt
+
+    if want("no_shift_lse"):
+        # Null the per-step renormalisation logsumexp (semantics-breaking;
+        # ablation only — measures the reduce's share of the serial chain).
+        orig_lse = filter_mod.logsumexp
+
+        def fake_lse(x, **kw):
+            return jnp.zeros((), x.dtype)
+
+        filter_mod.logsumexp = fake_lse
+        try:
+            timeit("no_shift_lse", jit_filter(), keys, E_c, E_k)
+        finally:
+            filter_mod.logsumexp = orig_lse
+
+    for k_unroll in (4, 16, 32):
+        if want(f"unroll{k_unroll}"):
+
+            @jax.jit
+            def f_unroll(keys, E_c, E_k, _k=k_unroll):
+                def one(key, e_c, e_k):
+                    r = run_filter(key, params, e_c, e_k, M, unroll=_k)
+                    return r.log_normalizing_constant
+
+                return jax.vmap(one)(keys, E_c, E_k)
+
+            timeit(f"unroll{k_unroll}", f_unroll, keys, E_c, E_k)
+
 
 if __name__ == "__main__":
     main()
