@@ -32,7 +32,74 @@ _NEG_INF = -jnp.inf
 # the 16 GB HBM of a v5e chip. Hazards are therefore computed per step.
 
 
-def _backward_logits(params: TwoGroupParams, cur: State, nxt: State, lw_t):
+def _structured_rho(params: TwoGroupParams, cur: State):
+    """Hazard lookups for a HISTORY-LAYOUT particle set without (N,) gathers.
+
+    MEASURED ON CHIP (tools/bisect_backward3.py, T=4096 x 8 units): the two
+    (N=2400,) gather_rho calls cost 81 us of the 128 us backward scan step —
+    63% of the whole backward pass. But filter history rows have (I, M)
+    child structure (proposal.expand_states): every child with duration > 1
+    carries its ancestor's (regime, duration+1) pair, which the no-change
+    row (child slot 0) holds verbatim — so the (N,) lookups collapse to
+    three (M,)-sized gathers plus the static duration-1 hazard row:
+
+      * d <= 1  ->  rho_table[r, 0]           (static (R,) row, one-hot select)
+      * d  > 1, control side / case side of cont+ctrl_cp rows
+                ->  table[anc.r, anc.d + 1]   (= the slot-0 value, (M,) gather)
+      * d  > 1, case side of the MERGE row (slot 2R-1: r_k = anc.r_c,
+        d_k = anc.d_c + 1, proposal.py:94-107)
+                ->  rho_case[anc.r_c, anc.d_c + 1]  ((M,) gather)
+
+    Exact for every live particle the filter can produce, including the
+    initial R*R proposals (all durations 1 -> the d <= 1 branch) and the
+    t = 0 history row. Dead slots (-1 padding / children of dead ancestors)
+    get rho = 0 -> log rho = -inf, which the -inf weight mask absorbs just
+    like the garbage the clipped gather produced. Requires cur to be a
+    filter-history row (N = I*M child layout) — NOT valid for arbitrary
+    states; _backward_logits keeps the generic gather as the default.
+    """
+    from hygeia_tpu.two_group.proposal import num_children
+    from hygeia_tpu.ops.hazard import gather_rho
+
+    R = params.n_regimes
+    I = num_children(R)
+    N = cur.d_c.shape[0]
+    if N % I:
+        raise ValueError(
+            f"history_layout requires N = I*M child layout (N={N}, I={I})"
+        )
+    M = N // I
+    f32 = params.rho_case.dtype
+
+    # Representative ancestor pairs from the no-change row (static slice).
+    d_c0, r_c0 = cur.d_c[:M], cur.r_c[:M]
+    d_k0, r_k0 = cur.d_k[:M], cur.r_k[:M]
+    a_c = gather_rho(params.rho_control, d_c0, r_c0)  # (M,) cheap path
+    c_cont = gather_rho(params.rho_case, d_k0, r_k0)
+    c_merge = gather_rho(params.rho_case, d_c0, r_c0)
+
+    rho1_c = params.rho_control[:, 0]  # duration-1 hazards (R,)
+    rho1_k = params.rho_case[:, 0]
+    regs = jnp.arange(R)
+    sel_c = jnp.sum(
+        jnp.where(cur.r_c[..., None] == regs, rho1_c.astype(f32), 0.0), axis=-1
+    )
+    sel_k = jnp.sum(
+        jnp.where(cur.r_k[..., None] == regs, rho1_k.astype(f32), 0.0), axis=-1
+    )
+
+    d_c2 = cur.d_c.reshape(I, M)
+    d_k2 = cur.d_k.reshape(I, M)
+    is_merge_row = (jnp.arange(I) == 2 * R - 1)[:, None]  # (I, 1) static
+    rho_c = jnp.where(d_c2 <= 1, sel_c.reshape(I, M), a_c[None, :])
+    deep_k = jnp.where(is_merge_row, c_merge[None, :], c_cont[None, :])
+    rho_k = jnp.where(d_k2 <= 1, sel_k.reshape(I, M), deep_k)
+    return rho_c.reshape(N), rho_k.reshape(N)
+
+
+def _backward_logits(
+    params: TwoGroupParams, cur: State, nxt: State, lw_t, *, history_layout=False
+):
     """Backward-kernel logits  lw_t[n] + log f(nxt[b] | cur[n])  as (B, N).
 
     Semantically identical to
@@ -49,6 +116,17 @@ def _backward_logits(params: TwoGroupParams, cur: State, nxt: State, lw_t):
     Branch structure mirrors case_control_regime_model.py:80-87 and
     case_control_distributions.py:138-151, 246-291 — see
     model.transition_log_prob for the reference-line commentary.
+
+    PRECONDITION (live ancestors only): the one-hot row lookups drop
+    _lookup_log_p's dead-index guard — an out-of-range regime (-1 padding
+    particle) yields an all-zero one-hot and a 0.0 row contribution instead
+    of -inf. Callers must carry -inf log-weights for dead slots (lw_t is
+    added to every row here, so -inf ancestors can never be sampled); the
+    kernel is NOT drop-in equivalent to transition_log_prob on padded states.
+
+    history_layout=True replaces the two (N,) hazard gathers (81 us/step,
+    63% of the backward pass) with the structural lookup (_structured_rho) —
+    valid only when ``cur`` is a filter-history row in (I, M) child layout.
     """
     R = params.n_regimes
     from hygeia_tpu.ops.hazard import gather_rho
@@ -60,8 +138,11 @@ def _backward_logits(params: TwoGroupParams, cur: State, nxt: State, lw_t):
         return jnp.where(c, 0.0, NEG)
 
     # ---- prev-only (N,) ----------------------------------------------------
-    rho_c = gather_rho(params.rho_control, cur.d_c, cur.r_c)
-    rho_k = gather_rho(params.rho_case, cur.d_k, cur.r_k)
+    if history_layout:
+        rho_c, rho_k = _structured_rho(params, cur)
+    else:
+        rho_c = gather_rho(params.rho_control, cur.d_c, cur.r_c)
+        rho_k = gather_rho(params.rho_case, cur.d_k, cur.r_k)
     log_rho_c, log1m_rho_c = jnp.log(rho_c), jnp.log1p(-rho_c)
     log_rho_k, log1m_rho_k = jnp.log(rho_k), jnp.log1p(-rho_k)
     gate = jnp.minimum(cur.d_k, cur.d_c) >= params.min_duration
@@ -180,7 +261,9 @@ def backward_simulation(
     def step(carry, inputs):
         nxt = carry  # State of (B,) — particle at time t+1
         lw_t, cur, k, is_last = inputs  # (N,), State of (N,), key, bool
-        logits = _backward_logits(params, cur, nxt, lw_t)  # (B, N)
+        logits = _backward_logits(
+            params, cur, nxt, lw_t, history_layout=True
+        )  # (B, N)
         sel = _categorical_rows(k, logits)  # (B,)
         picked = State(
             *(jnp.where(is_last, n, f[sel]) for n, f in zip(nxt, cur))
@@ -241,7 +324,9 @@ def backward_simulation_conditioned(
     def step(carry, inputs):
         nxt = carry  # (B,) State at time t+1
         lw_t, cur, k, is_term = inputs
-        logits_cond = _backward_logits(params, cur, nxt, lw_t)  # (B, N)
+        logits_cond = _backward_logits(
+            params, cur, nxt, lw_t, history_layout=True
+        )  # (B, N)
         # At the terminal step without conditioning, fall back to drawing
         # from the filtered weights (backward_simulation's terminal draw).
         logits_uncond = jnp.broadcast_to(

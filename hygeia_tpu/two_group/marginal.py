@@ -100,7 +100,9 @@ def run_marginal_filter(
         # the backward-specialised kernel (prev/next-only factors off the
         # joint grid — see backward._backward_logits; at N x N this tree is
         # the marginal filter's dominant per-step cost).
-        logB = _backward_logits(params, prev_state, new_state, lw)
+        logB = _backward_logits(
+            params, prev_state, new_state, lw, history_layout=True
+        )
         logBZ = logsumexp(logB, axis=1, keepdims=True)
         B = jnp.where(jnp.isfinite(logBZ), jnp.exp(logB - logBZ), 0.0).astype(
             jnp.float32
@@ -150,7 +152,11 @@ def run_marginal_filter(
         lw0, st0, psi0, psi_time0, psi_valid0, out0, out_valid0,
         jnp.zeros((), jnp.int32),
     )
-    carry_f, shifts = jax.lax.scan(step, carry0, (jnp.arange(1, T), keys))
+    # ts must be int32: psi_time is an int32 buffer and `.at[ins].set(t)`
+    # with a default-int64 t (x64 test config) is an unsafe downcast.
+    carry_f, shifts = jax.lax.scan(
+        step, carry0, (jnp.arange(1, T, dtype=jnp.int32), keys)
+    )
     (_, _, _, _, _, out, out_valid, spill) = carry_f
     return MarginalResult(
         functionals=out[:T],

@@ -273,3 +273,42 @@ def test_paired_logits_matches_transition():
     np.testing.assert_allclose(
         np.where(live, got, 0.0), np.where(live, want, 0.0), rtol=1e-6, atol=1e-6
     )
+
+
+def test_structured_rho_matches_gather_on_history():
+    """history_layout=True (backward._structured_rho) replaces the (N,)
+    hazard gathers with the (I, M)-structural lookup — must be EXACTLY equal
+    to the generic path on every row of a real filter history (masked
+    logits identical, dead slots included), and on the padded initial row."""
+    from hygeia_tpu.two_group.backward import _backward_logits
+
+    R = 4
+    params = default_params(R=R, min_duration=2, d_max=128)
+    rng = np.random.default_rng(3)
+    T, M, B = 40, 5, 7
+    n = rng.poisson(25, size=(T, 2)).astype(np.float64)
+    y = np.minimum(rng.poisson(10, size=(T, 2)), n).astype(np.float64)
+    E_c = emission_log_prob_table(y, n, params.alpha, params.beta)
+    E_k = emission_log_prob_table(np.minimum(y + 2, n), n, params.alpha, params.beta)
+    res = run_filter(
+        jax.random.PRNGKey(0), params, E_c, E_k, M, weight_dtype=jnp.float64
+    )
+
+    def rand_next(nb):
+        m = rng.integers(0, 2, nb)
+        d_c = rng.integers(1, 60, nb)
+        r_c = rng.integers(0, R, nb)
+        d_k = np.where(m == 1, d_c, rng.integers(1, 60, nb))
+        r_k = np.where(m == 1, r_c, rng.integers(0, R, nb))
+        f = lambda x: jnp.asarray(x, jnp.int32)
+        return State(f(m), f(d_c), f(r_c), f(d_k), f(r_k))
+
+    nxt = rand_next(B)
+    for t in range(T):
+        cur = State(*(jnp.asarray(f[t]) for f in res.particles))
+        lw = res.log_weights[t].astype(jnp.float32)
+        want = np.asarray(_backward_logits(params, cur, nxt, lw))
+        got = np.asarray(
+            _backward_logits(params, cur, nxt, lw, history_layout=True)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"row {t}")
