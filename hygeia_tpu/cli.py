@@ -75,6 +75,10 @@ def build_parser():
                          "functionals, no backward-particle archives")
     sp.add_argument("--marginal_epsilon", type=float, default=0.01)
     sp.add_argument("--marginal_window", type=int, default=64)
+    sp.add_argument("--streaming_blocks", type=int, default=None,
+                    help="checkpointed streaming backward with W-site blocks"
+                         ": O(W) history memory, several seeds resident per "
+                         "dispatch on long segments (exact; PARITY.md)")
     sp.add_argument("--trace_dir", default=None,
                     help="write a jax.profiler trace of the device computation here")
     sp.add_argument("--chrom", default="22")
@@ -302,6 +306,7 @@ def main(argv=None):
             marginal=args.marginal,
             marginal_epsilon=args.marginal_epsilon,
             marginal_window=args.marginal_window,
+            streaming_blocks=args.streaming_blocks,
         )
 
     elif verb == "aggregate":

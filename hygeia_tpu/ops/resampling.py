@@ -118,15 +118,23 @@ def systematic_resampling(key, log_norm_weights, num_offspring):
     return jnp.clip(idx, 0, log_norm_weights.shape[0] - 1).astype(jnp.int32)
 
 
-def multinomial_resampling(key, log_weights, num_offspring):
+def multinomial_resampling(key, log_weights, num_offspring, *, normalized=False):
     """Multinomial resampling via inverse-CDF sampling.
 
     Exactly multinomial (M iid categorical draws), but costs M uniforms plus
     a cumsum + searchsorted instead of the Gumbel-max formulation's (M, N)
     noise tensor (an (M, N) threefry draw on every filter scan step).
+
+    normalized=True: caller guarantees logsumexp(log_weights) == 0 (the
+    filter renormalises its carried weights every step), skipping the entry
+    reduce. The CDF grid is rescaled by the realised total either way, so
+    the selection is identical up to f32 rounding.
     """
     n = log_weights.shape[0]
-    log_norm, _ = _normalise(log_weights)
+    if normalized:
+        log_norm = log_weights
+    else:
+        log_norm, _ = _normalise(log_weights)
     q = _cumsum_fast(jnp.exp(log_norm))
     u = jax.random.uniform(key, (num_offspring,), dtype=jnp.float32)
     # side="right" (first q strictly above t): zero-weight slots have
@@ -135,15 +143,20 @@ def multinomial_resampling(key, log_weights, num_offspring):
     return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
 
 
-def unbiased_resampling(key, log_weights, num_offspring, multinomial=False):
+def unbiased_resampling(key, log_weights, num_offspring, multinomial=False, *, normalized=False):
     """Unbiased (systematic or multinomial) resampling.
 
     Mirrors resampling_functions.py:71-80: all offspring get equal
     post-resampling weight Z/M (signalled by use_unbiased=True).
     """
-    log_norm, log_z = _normalise(log_weights)
+    if normalized:
+        log_norm, log_z = log_weights, jnp.zeros((), log_weights.dtype)
+    else:
+        log_norm, log_z = _normalise(log_weights)
     if multinomial:
-        parents = multinomial_resampling(key, log_weights, num_offspring)
+        parents = multinomial_resampling(
+            key, log_norm, num_offspring, normalized=True
+        )
     else:
         parents = systematic_resampling(key, log_norm, num_offspring)
     new_w = jnp.full((num_offspring,), log_z - jnp.log(float(num_offspring)))
@@ -157,7 +170,7 @@ def unbiased_resampling(key, log_weights, num_offspring, multinomial=False):
     )
 
 
-def optimal_finite_state_resampling(key, log_weights, num_offspring):
+def optimal_finite_state_resampling(key, log_weights, num_offspring, *, normalized=False):
     """Fearnhead's optimal finite-state resampling, fully vectorised.
 
     Finds the threshold c with sum_i min(1, c * W_i) = M, keeps the K
@@ -181,12 +194,21 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     systematic pass runs over the *unsorted* weights with the kept set
     masked out (ordering does not affect its unbiasedness). Equivalence with
     the iterative reference version is covered by tests/test_resampling.py.
+
+    normalized=True: caller guarantees logsumexp(log_weights) == 0 (the
+    filters renormalise their carried weights every step — filter.py), so
+    the entry reduce is skipped. Every scan step otherwise pays THREE
+    serialized full-N logsumexps (caller's, this one, and the residual's);
+    the contract plus the realised-total residual rescale cuts that to one.
     """
     n = log_weights.shape[0]
     m = num_offspring
     dtype = log_weights.dtype
 
-    log_norm, log_z = _normalise(log_weights)
+    if normalized:
+        log_norm, log_z = log_weights, jnp.zeros((), dtype)
+    else:
+        log_norm, log_z = _normalise(log_weights)
     kk = min(m + 1, n)
     top_lw, top_idx = jax.lax.top_k(log_norm, kk)  # sorted desc
     top_q = jnp.exp(top_lw)
@@ -231,13 +253,15 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     # Residual systematic resampling over the unsorted weights with the kept
     # set masked out.
     kept_mask = jnp.any(top_hits & slots_mask(kk, k_star)[:, None], axis=0)
-    resid_lw = jnp.where(kept_mask, _NEG_INF, log_norm)
-    resid_norm, _ = _normalise(resid_lw)
+    # Residual CDF over the UNnormalised residual weights: the grid below is
+    # rescaled by the realised total q_resid[-1] anyway, so normalising first
+    # (a full-N logsumexp on the serial chain) changes nothing but rounding.
+    resid_w = jnp.where(kept_mask, 0.0, jnp.exp(log_norm))
     key_sys, key_mult = jax.random.split(key)
     # Draw M offspring positions; only positions >= K are used.
     l = jnp.maximum(m - k_star, 1)
     u = jax.random.uniform(key_sys, (), dtype=jnp.float32)
-    q_resid = _cumsum_fast(jnp.exp(resid_norm))
+    q_resid = _cumsum_fast(resid_w)
     # Grid scaled by the realised residual mass (see systematic_resampling):
     # prevents selecting past the last live particle under f32 rounding.
     t = (jnp.arange(m, dtype=jnp.float32) + u) / l.astype(jnp.float32) * q_resid[-1]
@@ -251,7 +275,7 @@ def optimal_finite_state_resampling(key, log_weights, num_offspring):
     # Fallback when log_c is non-finite: multinomial with unbiased weights
     # (resampling_functions.py:42-47).
     bad = ~jnp.isfinite(log_c)
-    mult_parents = multinomial_resampling(key_mult, log_weights, m)
+    mult_parents = multinomial_resampling(key_mult, log_norm, m, normalized=True)
     parents = jnp.where(bad, mult_parents, parents).astype(jnp.int32)
     new_w = jnp.where(bad, log_z - jnp.log(float(m)), new_w)
     log_c = jnp.where(bad, jnp.asarray(0.0, dtype), log_c)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-from hygeia_tpu.ops.resampling import optimal_finite_state_resampling, keep_top_m
+from hygeia_tpu.ops.resampling import optimal_finite_state_resampling
 from hygeia_tpu.single_group.model import (
     SingleGroupModel,
     ThetaTables,
@@ -83,7 +83,10 @@ def _grad_p_block_columns(R):
             else:
                 pos = j if j < rp else j - 1
                 col[rp, j] = rp * (R - 1) + pos
-    return jnp.asarray(col)
+    # Plain numpy: consumed only by the static scatter-tensor build in
+    # _prepare_engine, which may run inside a trace (jnp constants become
+    # tracers there and cannot be indexed into numpy).
+    return col
 
 
 def _prepare_engine(
@@ -167,73 +170,113 @@ def _prepare_engine(
     )
 
     regimes = jnp.arange(R)
+    hi_prec = jax.lax.Precision.HIGHEST
 
-    def _cp_log_density(tables, d_prev, r_prev, q):
-        """log f((1, q) | (d_prev, r_prev)); shapes broadcast."""
-        d_idx = jnp.clip(d_prev - 1, 0, model.d_max - 1)
-        rho = tables.rho[r_prev, d_idx]
-        exit_s = tables.exit_status[r_prev, d_idx]
-        log_rho_term = jnp.where(exit_s, 0.0, jnp.log(rho))
-        valid = (q != r_prev) & (d_prev >= model.u)
-        return jnp.where(valid, log_rho_term + tables.log_P[r_prev, q], _NEG_INF)
+    # Static P-gradient scatter tensor: scat[r, j, :] is the one-hot D-row
+    # for P-block entry j of regime-row r (0 where j == r). Replaces the
+    # per-step col_map[r_prev] row gather + (N, R, D) comparison build with
+    # one small exact one-hot matmul.
+    _scat_np = np.zeros((R, R, D), np.float32)
+    for _r in range(R):
+        for _j in range(R):
+            if _j != _r:
+                _scat_np[_r, _j, int(col_map[_r, _j])] = 1.0
+    scat_p = jnp.asarray(_scat_np, dtype)
 
-    def _cont_log_density(tables, d_prev, r_prev):
+    n_haz = 3 if model.kappa_fixed else 4
+
+    def _haz_trio(tables, d_prev, r_prev):
+        """(rho, exit, grad_omega[, grad_kappa]) at (d_prev, r_prev), each
+        shaped like the (flat) index arrays.
+
+        TPU note: XLA lowers per-element table gathers to a ~37 ns/element
+        scalar loop; the engine previously issued SIX (N,)-sized lookups per
+        scan step across the density/gradient helpers. Stacking the three
+        per-regime tables into one (3R, W) table and concatenating the index
+        vectors crosses gather_rho's >=512-element threshold, so ONE
+        128-wide-row gather serves all of them (~4x faster, flat in depth)."""
+        from hygeia_tpu.ops.hazard import gather_rho
+
+        parts = [tables.rho, tables.exit_status.astype(tables.rho.dtype),
+                 tables.grad_omega_log_rho]
+        if not model.kappa_fixed:
+            parts.append(tables.grad_kappa_log_rho)
+        stacked = jnp.concatenate(parts, axis=0)  # (n_haz*R, W)
+        d3 = jnp.concatenate([d_prev] * n_haz)
+        r3 = jnp.concatenate(
+            [r_prev + j * R for j in range(n_haz)]
+        )
+        v = gather_rho(stacked, d3, r3)
+        n = d_prev.shape[0]
+        out = [v[j * n : (j + 1) * n] for j in range(n_haz)]
+        out[1] = out[1] > 0.5  # exit flag back to bool
+        return out
+
+    def _cp_log_density_from(tables, trio, d_prev, r_prev, q):
+        """log f((1, q) | (d_prev, r_prev)) as (Q, N), from the precomputed
+        hazard trio. The log_P row lookup is an exact one-hot matmul (the
+        (R, N) fancy gather cost ~37 ns/element on TPU); -inf rows ride
+        through as -1e30 sentinels and are restored after."""
+        rho, exit_s = trio[0], trio[1]
+        log_rho_term = jnp.where(exit_s, 0.0, jnp.log(rho))[None, :]
+        valid = (q[:, None] != r_prev[None, :]) & (d_prev[None, :] >= model.u)
+        oh_prev = (r_prev[:, None] == regimes[None, :]).astype(dtype)  # (N, R)
+        safe = jnp.where(jnp.isfinite(tables.log_P), tables.log_P, -1e30)
+        rows = jax.lax.dot(oh_prev, safe, precision=hi_prec)  # (N, R)
+        log_p_qn = jnp.where(rows <= -1e29, _NEG_INF, rows).T  # (R=Q, N)
+        return jnp.where(valid, log_rho_term + log_p_qn, _NEG_INF), oh_prev
+
+    def _cont_log_density_from(trio_a):
         # Guard rho <= 1 exactly as the C++ does (singleGroup.h:599-605):
         # near the exit latch rho can numerically exceed 1, and log1p(-rho)
         # would be NaN rather than -inf.
-        d_idx = jnp.clip(d_prev - 1, 0, model.d_max - 1)
-        rho = tables.rho[r_prev, d_idx]
-        exit_s = tables.exit_status[r_prev, d_idx]
+        rho, exit_s = trio_a[0], trio_a[1]
         return jnp.where(exit_s | (rho > 1.0), _NEG_INF, jnp.log1p(-rho))
 
-    def _grad_cont(tables, d_prev, r_prev):
+    def _grad_cont_from(trio_a, r_prev):
         """(..., D) gradient of the continuation log-density
         (singleGroup.h:679-698): only the omega (and kappa) entries of the
         previous regime are nonzero, scaled by -rho/(1-rho); zero on exit."""
-        d_idx = jnp.clip(d_prev - 1, 0, model.d_max - 1)
-        rho = tables.rho[r_prev, d_idx]
-        exit_s = tables.exit_status[r_prev, d_idx]
-        g_om = tables.grad_omega_log_rho[r_prev, d_idx]
+        rho, exit_s, g_om = trio_a[0], trio_a[1], trio_a[2]
         coef = jnp.where(exit_s | (rho >= 1.0), 0.0, -rho / (1.0 - rho))
         onehot_om = (
             jnp.arange(D)[None, :] == (R * (R - 1) + r_prev)[..., None]
         ).astype(dtype)
         grad = onehot_om * (coef * g_om)[..., None]
         if not model.kappa_fixed:
-            g_ka = tables.grad_kappa_log_rho[r_prev, d_idx]
+            g_ka = trio_a[3]
             onehot_ka = (
                 jnp.arange(D)[None, :] == (R * R + r_prev)[..., None]
             ).astype(dtype)
             grad = grad + onehot_ka * (coef * g_ka)[..., None]
         return grad
 
-    def _grad_cp(tables, d_prev, r_prev, q):
+    def _grad_cp_from(tables, trio, oh_prev, d_prev, r_prev, q):
         """(Q, N, D) gradient of the change-point log-density
         (singleGroup.h:655-677): omega entry = grad_omega_log_rho (kept even
         on exit, reference behaviour), P-block entries 1[j==q] - P[r_prev,j];
-        zero where the density itself is zero."""
-        d_idx = jnp.clip(d_prev - 1, 0, model.d_max - 1)  # (N,)
+        zero where the density itself is zero. Row lookups of P and the
+        column map ride the one-hot matmuls (exact 0/1 products)."""
         valid = (q[:, None] != r_prev[None, :]) & (d_prev[None, :] >= model.u)
-        g_om = tables.grad_omega_log_rho[r_prev, d_idx]  # (N,)
+        g_om = trio[2]  # (N,)
         cols = jnp.arange(D)[None, None, :]
         om_col = (R * (R - 1) + r_prev)[None, :, None]
         grad = (cols == om_col).astype(dtype) * g_om[None, :, None]  # (Q,N,D)
         if not model.kappa_fixed:
-            g_ka = tables.grad_kappa_log_rho[r_prev, d_idx]
+            g_ka = trio[3]
             ka_col = (R * R + r_prev)[None, :, None]
             grad = grad + (cols == ka_col).astype(dtype) * g_ka[None, :, None]
         # P-row block: scatter values v_j = 1[j==q] - P[r_prev, j], j != r_prev.
         j = jnp.arange(R)
+        rows_p = jax.lax.dot(
+            oh_prev, tables.P.astype(dtype), precision=hi_prec
+        )  # (N, R)
         vals = (
             (j[None, None, :] == q[:, None, None]).astype(dtype)
-            - tables.P[r_prev][None, :, :]
+            - rows_p[None, :, :]
         )  # (Q, N, R)
-        pcols = col_map[r_prev]  # (N, R)
-        pmask = (j[None, :] != r_prev[:, None]).astype(dtype)  # (N, R)
-        # One-hot scatter over the P columns: (N, R, D) contracted on R.
-        onehot_p = (
-            jnp.arange(D)[None, None, :] == pcols[:, :, None]
-        ).astype(dtype) * pmask[:, :, None]
+        # One-hot scatter over the P columns: scat_p[r] selected per particle.
+        onehot_p = jnp.einsum("nr,rjd->njd", oh_prev, scat_p)  # (N, R, D)
         grad = grad + jnp.einsum("qnr,nrd->qnd", vals, onehot_p)
         return jnp.where(valid[:, :, None], grad, 0.0)
 
@@ -262,45 +305,93 @@ def _prepare_engine(
         # ---- resampleCp (Smc.h:406-450) -----------------------------------
         n_finite = jnp.sum(jnp.isfinite(w_prev))
         key = jax.random.fold_in(carry["key"], t)
-        res = optimal_finite_state_resampling(key, w_prev.astype(jnp.float32), M_cap)
-        top = keep_top_m(w_prev, M_cap)
+        # The carried weights are renormalised every step (w_new - shift
+        # below), so the resampler runs under the normalized contract; the
+        # top-M fallback reuses the resampler's own top_k (the separate
+        # keep_top_m was a SECOND full top_k(N, M_cap) per scan step).
+        res = optimal_finite_state_resampling(
+            key, w_prev.astype(jnp.float32), M_cap, normalized=True
+        )
+        top_parents = res.top_m_indices
+        iota_n = jnp.arange(N)
+        w_safe = jnp.where(jnp.isfinite(w_prev), w_prev, -1e30)
+        oh_top = (top_parents[:, None] == iota_n[None, :]).astype(dtype)
+        top_w_raw = jax.lax.dot(oh_top, w_safe[:, None], precision=hi_prec)[:, 0]
+        top_w = jnp.where(top_w_raw <= -1e29, _NEG_INF, top_w_raw)
         # C++ fallback on non-finite log_c keeps top-M (resample.h:366-375),
         # unlike the TF multinomial fallback baked into the op.
         use_optimal = at_capacity & (n_finite > M_cap) & ~res.use_unbiased
         anc = jnp.where(
             at_capacity,
-            jnp.where(use_optimal, res.parent_indices, top.parent_indices),
+            jnp.where(use_optimal, res.parent_indices, top_parents),
             jnp.arange(M_cap),  # growth phase: identity passthrough
         )
         anc_w = jnp.where(
             at_capacity,
-            jnp.where(use_optimal, res.new_log_weights.astype(dtype), top.new_log_weights),
-            w_prev[jnp.arange(M_cap)],
+            jnp.where(use_optimal, res.new_log_weights.astype(dtype), top_w),
+            w_prev[: M_cap],
         )
 
         # ---- sampleParticlesCp + computeWeightsCp (Smc.h:504-574) ---------
+        # ALL per-slot ancestor lookups ride exact one-hot matmuls instead
+        # of (N,)-sized gathers (XLA's per-element gather loop is ~37 ns/el
+        # on TPU; six such lookups dominated the engine step). oh_full maps
+        # slots -> resampled-ancestor rows (iota-only), oh_anc maps those
+        # rows -> previous-particle columns; their product is the slot ->
+        # prev-particle one-hot reused by the mixing matrix below.
         is_cont = slot < m_t
         is_fresh = (slot >= m_t) & (slot < m_t + R)
         anc_full = jnp.clip(jnp.where(is_cont, slot, 0), 0, M_cap - 1)
-        a = anc[anc_full]  # ancestor index per continuation slot
-        d_new = jnp.where(is_cont, d_prev[a] + 1, jnp.where(is_fresh, 1, 0)).astype(
+        oh_full = (anc_full[:, None] == jnp.arange(M_cap)[None, :]).astype(dtype)
+        oh_anc = (anc[:, None] == iota_n[None, :]).astype(dtype)  # (M_cap, N)
+        oh_a = jax.lax.dot(oh_full, oh_anc, precision=hi_prec)  # (N, N)
+
+        # Hazard trio at every previous particle (ONE stacked row-gather).
+        trio = _haz_trio(tables, d_prev, r_prev)
+        tri_ext = jnp.stack(
+            [trio[0], trio[1].astype(dtype)]
+            + [trio[j] for j in range(2, n_haz)]
+            + [d_prev.astype(dtype), r_prev.astype(dtype)],
+            axis=1,
+        )  # (N, n_haz + 2)
+        vals_cont = jax.lax.dot(oh_a, tri_ext, precision=hi_prec)
+        trio_a = [vals_cont[:, 0], vals_cont[:, 1] > 0.5] + [
+            vals_cont[:, j] for j in range(2, n_haz)
+        ]
+        d_a = vals_cont[:, n_haz].astype(jnp.int32)
+        r_a = vals_cont[:, n_haz + 1].astype(jnp.int32)
+
+        d_new = jnp.where(is_cont, d_a + 1, jnp.where(is_fresh, 1, 0)).astype(
             jnp.int32
         )
-        r_new = jnp.where(is_cont, r_prev[a], jnp.where(is_fresh, slot - m_t, 0)).astype(
+        r_new = jnp.where(is_cont, r_a, jnp.where(is_fresh, slot - m_t, 0)).astype(
             jnp.int32
         )
         obs_t = emissions[t].astype(dtype)  # (R,)
-        cont_lp = _cont_log_density(tables, d_prev[a], r_prev[a]) + obs_t[r_new]
-        w_cont = anc_w[anc_full] + cont_lp
+        obs_new = jnp.sum(
+            jnp.where(r_new[:, None] == regimes[None, :], obs_t[None, :], 0.0),
+            axis=-1,
+        )
+        cont_lp = _cont_log_density_from(trio_a) + obs_new
+        anc_w_safe = jnp.where(jnp.isfinite(anc_w), anc_w, -1e30)
+        w_anc_full_raw = jax.lax.dot(
+            oh_full, anc_w_safe[:, None], precision=hi_prec
+        )[:, 0]
+        w_anc_full = jnp.where(w_anc_full_raw <= -1e29, _NEG_INF, w_anc_full_raw)
+        w_cont = w_anc_full + cont_lp
 
         # Fresh weights marginalise over all previous particles (Smc.h:561-573).
-        cp_lp = _cp_log_density(
-            tables, d_prev[None, :], r_prev[None, :], regimes[:, None]
+        cp_lp, oh_prev = _cp_log_density_from(
+            tables, trio, d_prev, r_prev, regimes
         )  # (R, N) log f((1,q) | prev_n)
         safe_prev_w = jnp.where(jnp.isfinite(w_prev), w_prev, _NEG_INF)
         w_fresh_q = logsumexp(cp_lp.astype(dtype) + safe_prev_w[None, :], axis=1) + obs_t
         fresh_idx = jnp.clip(slot - m_t, 0, R - 1)
-        w_new = jnp.where(is_cont, w_cont, jnp.where(is_fresh, w_fresh_q[fresh_idx], _NEG_INF))
+        w_fresh_full = jnp.sum(
+            jnp.where(fresh_idx[:, None] == regimes[None, :], w_fresh_q[None, :], 0.0),
+            axis=-1,
+        )
+        w_new = jnp.where(is_cont, w_cont, jnp.where(is_fresh, w_fresh_full, _NEG_INF))
         shift = logsumexp(w_new)
         w_new = w_new - shift
         w_self = jnp.exp(w_new)  # self-normalised weights (dead slots -> 0)
@@ -317,9 +408,7 @@ def _prepare_engine(
         # for dead slots. The psi and phi recursions then become single
         # (.., N) x (N, N) matmuls on the MXU instead of large gathers
         # (gathers scale linearly with batch on TPU and dominated step time).
-        cont_onehot = (
-            (jnp.arange(N)[:, None] == a[None, :]) & is_cont[None, :]
-        ).astype(dtype)
+        cont_onehot = (oh_a * is_cont[:, None].astype(dtype)).T  # (N, N)
         onehot_fresh = (
             (fresh_idx[:, None] == regimes[None, :]) & is_fresh[:, None]
         ).astype(dtype)  # (N, R)
@@ -391,8 +480,10 @@ def _prepare_engine(
             # are added separately (continuation gradients at the ancestor
             # state; fresh gradients B-averaged, Smc-layout of
             # OnlineParameterEstimation.h:135-170).
-            g_cont = _grad_cont(tables, d_prev[a], r_prev[a])  # (N, D)
-            g_cp = _grad_cp(tables, d_prev, r_prev, regimes)  # (R, N, D)
+            g_cont = _grad_cont_from(trio_a, r_a)  # (N, D)
+            g_cp = _grad_cp_from(
+                tables, trio, oh_prev, d_prev, r_prev, regimes
+            )  # (R, N, D)
             g_fresh = jnp.einsum("qn,qnd->qd", B, g_cp)  # (R, D)
             grad_term = jnp.where(
                 is_cont[:, None],

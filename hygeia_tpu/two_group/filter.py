@@ -88,8 +88,15 @@ def run_filter(
     use_init=None,
     unroll: int = 8,
     vma_axes=(),
+    return_history: bool = True,
 ) -> FilterResult:
     """Run the filter over T sites; returns full weight/particle history.
+
+    return_history=False runs the IDENTICAL realisation (same keys, same
+    per-site computations — unlike run_filter_final, whose key derivation
+    differs) but emits no (T, N) ys: FilterResult.log_weights/particles then
+    hold only the FINAL site's (N,) state. O(N) memory — the forward
+    checkpoint sweep of the streaming backward (two_group/streaming.py).
 
     ``unroll`` sites are processed per lax.scan step: measured on chip, the
     scan-step machinery (carry threading, ys update-slices, input slicing)
@@ -226,17 +233,19 @@ def run_filter(
             carry = jax.tree.map(
                 lambda n, o: jnp.where(valid_k[k], n, o), new_carry, carry
             )
-            outs.append(
-                (
+            if return_history:
+                hist = (
                     jnp.where(valid_k[k], out[0], old_lw),
                     jax.tree.map(
                         lambda n, o: jnp.where(valid_k[k], n, o),
                         _narrow(out[1]),
                         _narrow(old_parts),
                     ),
-                    jnp.where(valid_k[k], out[2], 0.0),
-                    out[3] & valid_k[k],
                 )
+            else:
+                hist = ()
+            outs.append(
+                hist + (jnp.where(valid_k[k], out[2], 0.0), out[3] & valid_k[k])
             )
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
         return carry, stacked
@@ -246,9 +255,19 @@ def run_filter(
         site_keys.reshape((n_chunks, K) + site_keys.shape[1:]),
         jnp.asarray(valid_pad).reshape(n_chunks, K),
     )
-    (final_lw, _), (lws, parts, shifts, degen) = jax.lax.scan(
+    (final_lw, final_parts), ys = jax.lax.scan(
         chunk_step, (init_lw, init_states), xs
     )
+    if return_history:
+        lws, parts, shifts, degen = ys
+    else:
+        shifts, degen = ys
+        return FilterResult(
+            log_weights=final_lw,
+            particles=final_parts,
+            log_normalizing_constant=init_shift + jnp.sum(shifts),
+            degenerate_steps=jnp.sum(degen),
+        )
     skip = front_pad - 1  # rows before the init row; 0 in the zero-copy case
     all_lw = lws.reshape(n_chunks * K, -1)[skip:]
     all_parts = State(*(f.reshape(n_chunks * K, -1)[skip:] for f in parts))
@@ -381,16 +400,30 @@ def _one_step(
     """
     dtype = prev_lw.dtype
     n_finite = jnp.sum(jnp.isfinite(prev_lw))
-    log_z_prev = logsumexp(prev_lw)
-    log_norm = prev_lw - log_z_prev
+    # NORMALIZED-WEIGHT CONTRACT: every caller hands prev_lw renormalised
+    # (run_filter/run_filter_final/marginal shift the carry every step, and
+    # the warm/cold inits are shifted too), so logsumexp(prev_lw) == 0 up to
+    # one f32 rounding. Treating it as exactly 0 removes two of the three
+    # serialized full-N reduces per scan step (this one and the resampler's
+    # entry normalise); the per-step shift accounting keeps the accumulated
+    # logZ exactly telescoping either way, and the no-resample branch (the
+    # exact-oracle path) never used log_z_prev at all.
+    log_z_prev = jnp.zeros((), dtype)
+    log_norm = prev_lw
 
     # --- resample M ancestors (resample block, :201-219) -------------------
     need_resample = n_finite > M
     if optimal_resampling:
-        res = optimal_finite_state_resampling(key, log_norm.astype(jnp.float32), M)
+        res = optimal_finite_state_resampling(
+            key, log_norm.astype(jnp.float32), M, normalized=True
+        )
     else:
         res = unbiased_resampling(
-            key, log_norm.astype(jnp.float32), M, multinomial=multinomial_resampling
+            key,
+            log_norm.astype(jnp.float32),
+            M,
+            multinomial=multinomial_resampling,
+            normalized=True,
         )
     # No-resample branch keeps the top-M slots; the indices come free from
     # the resampler's own top_k (ordering of prev_lw == ordering of the

@@ -69,6 +69,7 @@ def infer_segment(
     marginal_epsilon=0.01,
     marginal_window=64,
     max_seeds_per_call=None,
+    streaming_blocks=None,
 ):
     """Run inference for one (chrom, batch, seed) work unit.
 
@@ -86,6 +87,13 @@ def infer_segment(
     max_seeds_per_call caps the vmapped seed chunk per device dispatch (on
     top of the HBM-budget estimate) — the orchestrator lowers it on retry
     attempts the way Nextflow escalates task.attempt resources.
+
+    streaming_blocks=W switches the monolithic fused filter+backward to the
+    checkpointed streaming path (two_group/streaming.py): O(W*N) history
+    memory instead of O(T*N), so several seeds stay resident per dispatch
+    on long segments (residency is throughput on this latency-bound
+    workload). Exact — same smoothing distribution, different RNG stream
+    (PARITY.md). Same output files.
 
     trace_dir: if set, the device computation runs under jax.profiler.trace
     (viewable in TensorBoard/XProf) — the engine-level analog of the
@@ -179,7 +187,7 @@ def infer_segment(
     all_log_norm = {s: {} for s in seeds}
     times = {s: {} for s in seeds}
     times_backward = {s: {} for s in seeds}
-    hbm_budget = float(os.environ.get("HYGEIA_HBM_BUDGET_GB", 8.0)) * 2**30
+    hbm_budget = float(os.environ.get("HYGEIA_HBM_BUDGET_GB", 13.5)) * 2**30
     from contextlib import nullcontext
 
     def _maybe_trace():
@@ -187,13 +195,20 @@ def infer_segment(
 
     for M in num_resampled_particles:
         N = M * (2 * R + R * R)
-        # The filter history costs ~T*N*15B (f32 weights + int32 durations +
-        # int8 regimes/flag; filter._narrow) per seed — ~4.0 GB for a full
-        # 110k-site segment. Budget DOUBLE that per seed: XLA could not use
-        # the donated history buffers across the filter->backward program
-        # boundary on this runtime (layout mismatch warning), so both copies
-        # can be live while the backward dispatch starts.
-        per_seed = T * N * 30 if not marginal else N * N * 8
+        # Filter + backward run FUSED in ONE jit program: the (T, N) history
+        # (15 B/particle-site, filter._narrow — ~4.0 GB per seed on a full
+        # 110k-site segment) is produced and consumed inside the program, so
+        # no copy crosses a dispatch boundary. MEASURED (tools/
+        # production_run.py): budget ~34 B/site-particle per seed — XLA still
+        # holds ~2x the history inside the fused program (ys double-buffer),
+        # and a 2-seed 110k dispatch over-subscribed HBM catastrophically
+        # (95 s/seed vs 7.8 s fused single-seed, 8.9 s round-2 unfused).
+        if marginal:
+            per_seed = N * N * 8
+        elif streaming_blocks:
+            per_seed = min(T, int(streaming_blocks)) * N * 34
+        else:
+            per_seed = T * N * 34
         seeds_per_call = max(1, int(hbm_budget // max(per_seed, 1)))
         if max_seeds_per_call is not None:
             seeds_per_call = min(seeds_per_call, max_seeds_per_call)
@@ -209,13 +224,13 @@ def infer_segment(
         # Seeds are vmapped: every Monte-Carlo replicate of this segment
         # runs in one device program (the reference launches one process
         # per seed; `each inference_seed`, modules/two_group/4_infer.nf:28).
-        # Filter and backward are two dispatches so each is timed separately
-        # (the reference's optimal_time_{seed}.txt vs optimal_time_backward_
-        # {seed}.txt, run_inference_two_groups.py:286-296); the filter history
-        # stays on device between them.
+        # The fused program reports one wall time per chunk, written to
+        # optimal_time_{seed}.txt; optimal_time_backward_{seed}.txt records
+        # 0 (the reference times two phases the fused program does not have
+        # — PARITY.md).
         @jax.jit
-        def filter_m(keys):
-            def one(key):
+        def fused_m(keys, bkeys):
+            def one(key, bkey):
                 res = run_filter(
                     key,
                     params,
@@ -226,29 +241,20 @@ def infer_segment(
                     multinomial_resampling=multinomial,
                     weight_dtype=weight_dtype,
                 )
-                return (
-                    res.log_normalizing_constant,
-                    res.log_weights,
-                    res.particles,
-                    res.degenerate_steps,
-                )
-
-            return jax.vmap(one)(keys)
-
-        # The filter history is dead after the backward pass; donating it
-        # lets XLA reuse its ~T*N*24B (6.3 GB at production shape) instead
-        # of holding input and temporaries side by side.
-        def _backward_m(keys, lw, particles):
-            def one(key, lw_i, parts_i):
                 traj = backward_simulation(
-                    key, params, lw_i, parts_i, num_samples_backward
+                    bkey, params, res.log_weights, res.particles,
+                    num_samples_backward,
                 )
                 split, regime = smoothing_functionals(traj, R)
-                return traj, split, regime
+                return (
+                    res.log_normalizing_constant,
+                    res.degenerate_steps,
+                    traj,
+                    split,
+                    regime,
+                )
 
-            return jax.vmap(one)(keys, lw, particles)
-
-        backward_m = jax.jit(_backward_m, donate_argnums=(1, 2))
+            return jax.vmap(one)(keys, bkeys)
 
         outs = {}
         for c0 in range(0, len(seeds), seeds_per_call):
@@ -259,15 +265,36 @@ def infer_segment(
             )
             with _maybe_trace():
                 t0 = time.time()
-                log_z_v, lw_v, parts_v, degen_v = jax.block_until_ready(
-                    filter_m(keys)
-                )
-                t_filter = time.time() - t0
-                t0 = time.time()
-                traj_v, split_v, regime_v = jax.block_until_ready(
-                    backward_m(bkeys, lw_v, parts_v)
-                )
-                t_backward = time.time() - t0
+                if streaming_blocks:
+                    from hygeia_tpu.two_group.streaming import streamed_inference
+
+                    traj_np, log_z_v, degen_v = streamed_inference(
+                        keys, params, E_c, E_k, M, num_samples_backward,
+                        block_size=int(streaming_blocks),
+                        multinomial=multinomial,
+                        weight_dtype=weight_dtype,
+                    )
+                    # float32 like the device-side smoothing_functionals.
+                    split_v = (traj_np[..., 0] == 0).mean(axis=2).astype(np.float32)
+                    regime_v = np.concatenate(
+                        [
+                            np.stack(
+                                [(traj_np[..., 2] == r).mean(axis=2) for r in range(R)],
+                                -1,
+                            ),
+                            np.stack(
+                                [(traj_np[..., 4] == r).mean(axis=2) for r in range(R)],
+                                -1,
+                            ),
+                        ],
+                        axis=-1,
+                    ).astype(np.float32)
+                    traj_v = traj_np
+                else:
+                    log_z_v, degen_v, traj_v, split_v, regime_v = (
+                        jax.block_until_ready(fused_m(keys, bkeys))
+                    )
+                t_chunk = time.time() - t0
             for i, s in enumerate(chunk):
                 d = int(degen_v[i])
                 if d:
@@ -282,8 +309,8 @@ def infer_segment(
                     np.asarray(traj_v[i]),
                     np.asarray(split_v[i]),
                     np.asarray(regime_v[i]),
-                    t_filter / len(chunk),
-                    t_backward / len(chunk),
+                    t_chunk / len(chunk),
+                    0.0,
                 )
         for s in seeds:
             log_z, traj, split_s, regime_s, t_f, t_b = outs[s]
@@ -318,6 +345,7 @@ def infer_segment(
         "num_resampled_particles": list(num_resampled_particles),
         "num_samples_backward": num_samples_backward,
         "multinomial": multinomial, "robust": robust, "marginal": marginal,
+        "streaming_blocks": streaming_blocks,
     }
     for s in seeds:
         # The reference serialises its absl flags per run

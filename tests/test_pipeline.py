@@ -126,13 +126,15 @@ def test_full_pipeline(pipeline_dirs):
     assert len(p0) == seg and len(p1) == T - seg
     assert p0[-1] < p1[0]
     # Per-run artifacts: serialized flags (run_inference_two_groups.py:96-108)
-    # and separately-timed filter/backward passes (:286-296) — the backward
-    # timing dict must actually be populated.
+    # and timing files (:286-296). Filter + backward run FUSED in one device
+    # program (PARITY.md): optimal_time holds the fused per-seed wall,
+    # optimal_time_backward records 0.0 for the phase boundary that no
+    # longer exists.
     d0 = results / "chrom_t_0"
     assert f"--seed=0" in (d0 / "flags0.txt").read_text()
     tb = eval((d0 / "optimal_time_backward_0.txt").read_text())
     tf_ = eval((d0 / "optimal_time_0.txt").read_text())
-    assert tb and all(v > 0 for v in tb.values()), tb
+    assert tb and all(v == 0.0 for v in tb.values()), tb
     assert tf_ and all(v > 0 for v in tf_.values()), tf_
 
     # ---- aggregate --------------------------------------------------------

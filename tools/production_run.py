@@ -28,7 +28,10 @@ T_TOTAL = 215_000
 SEG, BUF = 100_000, 5_000
 BATCH = 1  # both halos engaged
 M, B, R = 50, 25, 6
-SEEDS = [0, 1]
+SEEDS = [int(s) for s in os.environ.get("HYGEIA_PROD_SEEDS", "0,1").split(",")]
+# Streaming block size (0 = monolithic fused path). The streamed path keeps
+# several seeds resident per dispatch — residency is throughput here.
+STREAM_W = int(os.environ.get("HYGEIA_PROD_STREAM", 0))
 
 
 def build_fixture(root: Path):
@@ -73,7 +76,7 @@ def main():
         data, sg = build_fixture(root)
         print(f"fixture built in {time.time() - t0:.1f}s", flush=True)
 
-    results = root / "results"
+    results = root / ("results_stream" if STREAM_W else "results")
     t0 = time.time()
     infer_segment(
         data_dir=str(data),
@@ -86,6 +89,7 @@ def main():
         buffer_size=BUF,
         num_resampled_particles=(M,),
         num_samples_backward=B,
+        streaming_blocks=STREAM_W or None,
     )
     wall = time.time() - t0
     dev = jax.local_devices()[0]
@@ -117,6 +121,7 @@ def main():
                 "N": N,
                 "B": B,
                 "seeds": len(SEEDS),
+                "streaming_blocks": STREAM_W,
             }
         ),
         flush=True,
