@@ -39,7 +39,7 @@ def build_parser():
     sub = p.add_subparsers(dest="verb", required=True)
 
     # ---- preprocess -------------------------------------------------------
-    sp = sub.add_parser("preprocess", help="BED -> count matrices")
+    sp = sub.add_parser("preprocess", help="BED/gemBS -> count matrices")
     sp.add_argument("--cpg_file_path", required=True)
     sp.add_argument("--output_path", default="test")
     sp.add_argument("--case_data_path", action="append", default=[])
@@ -47,6 +47,9 @@ def build_parser():
     sp.add_argument("--control_data_path", action="append", default=[])
     sp.add_argument("--control_id_names", action="append", default=[])
     sp.add_argument("--chromosome", default="22")
+    sp.add_argument("--format", choices=["bed", "gembs"], default="bed",
+                    help="input flavour: bismark BED (preprocess_bed.py) or "
+                    "gemBS tab files (preprocess_gembs.py)")
 
     # ---- get_chrom_segments ----------------------------------------------
     sp = sub.add_parser("get_chrom_segments")
@@ -252,7 +255,10 @@ def main(argv=None):
     verb = args.verb
 
     if verb == "preprocess":
-        from hygeia_tpu.pipeline.preprocess_bed import process_bed
+        if args.format == "gembs":
+            from hygeia_tpu.pipeline.preprocess_gembs import process_gembs as _proc
+        else:
+            from hygeia_tpu.pipeline.preprocess_bed import process_bed as _proc
 
         case_ids = args.case_id_names or [
             f"case_{i}" for i in range(len(args.case_data_path))
@@ -260,7 +266,7 @@ def main(argv=None):
         control_ids = args.control_id_names or [
             f"control_{i}" for i in range(len(args.control_data_path))
         ]
-        n = process_bed(
+        n = _proc(
             args.cpg_file_path,
             args.output_path,
             args.chromosome,

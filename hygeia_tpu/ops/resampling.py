@@ -310,3 +310,110 @@ def keep_top_m(log_weights, num_offspring):
         new_log_weights=vals,
         top_m_indices=parents.astype(jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional resampling (conditional-SMC support; off the reference's main
+# path — Smc.h only uses the unconditional trio, see PARITY.md)
+# ---------------------------------------------------------------------------
+
+
+class ConditionalResampleResult(NamedTuple):
+    parent_indices: jnp.ndarray  # (M,) int32; parent_indices[b] == a
+    b: jnp.ndarray  # scalar int32 index of the distinguished offspring
+
+
+def conditional_multinomial_resampling(
+    key, log_weights, num_offspring, conditioning_parent, *, normalized=False
+):
+    """Conditional multinomial resampling (resample.h:65-78).
+
+    M iid categorical parent draws, then — exactly as the reference — the
+    distinguished offspring index is fixed at b = 0 and its parent forced to
+    `conditioning_parent`.
+    """
+    parents = multinomial_resampling(
+        key, log_weights, num_offspring, normalized=normalized
+    )
+    a = jnp.asarray(conditioning_parent, jnp.int32)
+    parents = jnp.where(jnp.arange(num_offspring) == 0, a, parents)
+    return ConditionalResampleResult(parents, jnp.asarray(0, jnp.int32))
+
+
+def conditional_systematic_resampling(
+    key, log_norm_weights, num_offspring, conditioning_parent, *, uniforms=None
+):
+    """Conditional systematic resampling (resample.h:154-281).
+
+    Given normalised weights w and the parent index a of the conditioning
+    path, (1) samples the distinguished offspring index b from the strata
+    compatible with a (equal mass on interior strata, boundary strata get
+    their overlap mass, resample.h:175-198), (2) restricts the systematic
+    uniform to the [lb, ub] range compatible with (a, b) (resample.h:203-215),
+    and (3) runs standard systematic resampling on the grid T_j = j + u
+    against Q = cumsum(M*w), forcing parent[b] = a (resample.h:218-243).
+
+    The reference's three sequential while-loops become comparison-count
+    reductions (`_count_below`); the stratum draw uses the same inverse-CDF
+    rule as the reference's sampleInt (misc.h:155-159), so given identical
+    uniforms the output matches the C++ loop exactly (tests/test_offpath.py
+    checks this against a direct NumPy port). The i == N degenerate guard
+    (numerically zero weight of the conditioning path, resample.h:248-259)
+    becomes the same full-passthrough fallback with b = a.
+
+    `uniforms`: optional (u_systematic, u_stratum) pair overriding the key
+    draws (used by the parity oracle test).
+    """
+    n = log_norm_weights.shape[0]
+    m = num_offspring
+    a = jnp.asarray(conditioning_parent, jnp.int32)
+    if uniforms is None:
+        k1, k2 = jax.random.split(key)
+        u_raw = jax.random.uniform(k1, (), dtype=log_norm_weights.dtype)
+        u_strat = jax.random.uniform(k2, (), dtype=log_norm_weights.dtype)
+    else:
+        u_raw, u_strat = (jnp.asarray(v, log_norm_weights.dtype) for v in uniforms)
+
+    w = jnp.exp(log_norm_weights)
+    q = _cumsum_fast(m * w)  # (n,)
+    bins = jnp.clip(jnp.ceil(q) - 1, 0, m - 1).astype(jnp.int32)
+
+    a_prev = jnp.maximum(a - 1, 0)
+    bin_a = bins[a]
+    q_a = q[a]
+    bin_p = jnp.where(a > 0, bins[a_prev], bin_a)
+    q_p = q[a_prev]
+    degenerate = (a == 0) | (bin_a == bin_p)
+
+    # Strata weights for the distinguished index (resample.h:181-195):
+    # interior strata get 1, the last stratum gets Q(a) - bins(a), the first
+    # gets bins(a-1) - Q(a-1) + 1.
+    s = jnp.arange(m)
+    w_aux = ((s > bin_p) & (s < bin_a)).astype(q.dtype)
+    w_aux = jnp.where(s == bin_a, q_a - bin_a, w_aux)
+    w_aux = jnp.where(s == bin_p, bin_p - q_p + 1.0, w_aux)
+    cum_aux = _cumsum_fast(w_aux)
+    # sampleInt: first index with cumsum >= u * total (inverse CDF).
+    b_sampled = jnp.sum(
+        (cum_aux < u_strat * cum_aux[-1]).astype(jnp.int32)
+    ).astype(jnp.int32)
+    b = jnp.where(degenerate, bin_a, b_sampled)
+
+    # Restrict the systematic uniform to the (a, b)-compatible range
+    # (resample.h:203-215).
+    lb = jnp.where((a > 0) & (b == bin_p), q_p - bin_p, 0.0)
+    ub = jnp.where(b == bin_a, q_a - bin_a, 1.0)
+    u = lb + (ub - lb) * u_raw
+
+    t = jnp.arange(m, dtype=q.dtype) + u
+    count = _count_below(q, t)  # first i with T_j <= Q_i
+    # The reference's second loop restarts at i = a for j > b
+    # (resample.h:245-246), so later offspring never select parents < a.
+    parents = jnp.where(s > b, jnp.maximum(count, a), count)
+    # Degenerate i == N guard (resample.h:248-259): full passthrough.
+    overflow = jnp.any((s > b) & (count > n - 1))
+    parents = jnp.clip(parents, 0, n - 1).astype(jnp.int32)
+    parents = jnp.where(s == b, a, parents)
+    parents = jnp.where(overflow, s.astype(jnp.int32), parents)
+    b = jnp.where(overflow, a, b)
+    return ConditionalResampleResult(parents, b)

