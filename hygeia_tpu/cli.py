@@ -203,6 +203,10 @@ def build_parser():
     sp.add_argument("--num_resampled_particles", type=int, default=50)
     sp.add_argument("--num_samples_backward", type=int, default=25)
     sp.add_argument("--n_particles", type=int, default=250)
+    sp.add_argument("--run_streaming_blocks", type=int, default=None,
+                    help="INFER units use the checkpointed streaming path "
+                    "with W-site blocks (8+ seeds resident per chip; "
+                    "see infer --streaming_blocks)")
     sp.add_argument("--no_resume", action="store_true")
     sp.add_argument("--stub_run", action="store_true",
                     help="wire the DAG with empty outputs (Nextflow -stub-run analog)")
@@ -464,6 +468,7 @@ def main(argv=None):
                 else None
             ),
             boundary=args.boundary,
+            streaming_blocks=args.run_streaming_blocks,
         )
         print(f"pipeline complete: {args.output_dir}")
 

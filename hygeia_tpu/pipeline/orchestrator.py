@@ -226,6 +226,7 @@ def run_two_group(
     max_retries=5,
     mesh_shape=None,
     boundary="halo",
+    streaming_blocks=None,
 ):
     """Full two-group pipeline for a list of chromosomes.
 
@@ -396,6 +397,7 @@ def run_two_group(
                     minimum_duration=u,
                     num_resampled_particles=(num_resampled_particles,),
                     num_samples_backward=num_samples_backward,
+                    streaming_blocks=streaming_blocks,
                     # Escalate like task.attempt resources (4_infer.nf:10):
                     # halve the per-dispatch seed chunk on each retry so an
                     # HBM OOM on the full vmapped seed batch backs off.
