@@ -31,7 +31,11 @@ import numpy as np
 # Keep all benchmark compute inside one jit: per-dispatch tunnel latency in
 # this environment is ~30ms and must not be measured.
 T = int(os.environ.get("HYGEIA_BENCH_T", 4096))
-UNITS = int(os.environ.get("HYGEIA_BENCH_UNITS", 8))
+# 32 vmapped work units: measured sweet spot on the v5e (8 units 64.1k,
+# 16 units 63.5k, 32 units 69.8k, 64 units 67.9k sites/s — the workload
+# is compute-bound past ~8 units, residency only amortises the remaining
+# per-op latency). History HBM at 32x4096 sites is ~4.7 GB.
+UNITS = int(os.environ.get("HYGEIA_BENCH_UNITS", 32))
 M = int(os.environ.get("HYGEIA_BENCH_M", 50))
 B = int(os.environ.get("HYGEIA_BENCH_B", 25))
 REPS = int(os.environ.get("HYGEIA_BENCH_REPS", 3))

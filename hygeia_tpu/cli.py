@@ -207,6 +207,11 @@ def build_parser():
                     help="INFER units use the checkpointed streaming path "
                     "with W-site blocks (8+ seeds resident per chip; "
                     "see infer --streaming_blocks)")
+    sp.add_argument("--run_stream_batched", action="store_true",
+                    help="with --run_streaming_blocks: batch the whole "
+                    "chromosome's (batch x seed) unit grid into shared "
+                    "streamed dispatches (cross-segment residency; outputs "
+                    "bit-identical to the per-batch path)")
     sp.add_argument("--no_resume", action="store_true")
     sp.add_argument("--stub_run", action="store_true",
                     help="wire the DAG with empty outputs (Nextflow -stub-run analog)")
@@ -469,6 +474,7 @@ def main(argv=None):
             ),
             boundary=args.boundary,
             streaming_blocks=args.run_streaming_blocks,
+            stream_batched=args.run_stream_batched,
         )
         print(f"pipeline complete: {args.output_dir}")
 

@@ -227,6 +227,7 @@ def run_two_group(
     mesh_shape=None,
     boundary="halo",
     streaming_blocks=None,
+    stream_batched=False,
 ):
     """Full two-group pipeline for a list of chromosomes.
 
@@ -375,7 +376,55 @@ def run_two_group(
                     max_retries=max_retries,
                 )
                 any_unit_failed |= not ok
-        for batch in range(n_batches) if mesh_shape is None else ():
+        if mesh_shape is None and stream_batched and streaming_blocks:
+            # Cross-segment batched streamed INFER: the chromosome's whole
+            # (batch x seed) unit grid rides one sequence of streamed
+            # dispatches (runner.infer_chromosome_streamed) — the single-chip
+            # counterpart of the meshed path (residency is throughput,
+            # PERF.md). One marker/retry scope per chromosome; retries halve
+            # the per-dispatch unit cap like the sequential path's seed cap.
+            from hygeia_tpu.two_group.runner import infer_chromosome_streamed
+
+            unit = infer_dir / f"unit_{chrom}_streambatched"
+            if not _stage(unit, resume):
+                trace.record("INFER[streambatched]", chrom, 0.0, skipped=True)
+            else:
+
+                def _infer_streambatched(attempt):
+                    infer_chromosome_streamed(
+                        data_dir=str(pre_dir),
+                        single_group_dir=str(sg_dir),
+                        results_dir=str(infer_dir),
+                        chrom=chrom,
+                        seed=list(inference_seeds),
+                        segment_size=segment_size,
+                        buffer_size=buffer_size,
+                        mu=mu,
+                        sigma=sigma,
+                        minimum_duration=u,
+                        num_resampled_particles=(num_resampled_particles,),
+                        num_samples_backward=num_samples_backward,
+                        streaming_blocks=streaming_blocks,
+                        max_units_per_call=max(
+                            1, (len(inference_seeds) * n_batches) >> (attempt - 1)
+                        ),
+                    )
+                    _finish(unit)
+
+                ok = _attempt(
+                    _infer_streambatched,
+                    trace=trace,
+                    stage="INFER[streambatched]",
+                    chrom=chrom,
+                    max_retries=max_retries,
+                )
+                any_unit_failed |= not ok
+            seq_batches = ()
+        elif mesh_shape is None:
+            seq_batches = range(n_batches)
+        else:
+            seq_batches = ()
+        for batch in seq_batches:
             # All seeds of a batch run vmapped in one device program.
             unit = infer_dir / f"unit_{chrom}_{batch}"
             if not _stage(unit, resume):

@@ -32,6 +32,7 @@ from hygeia_tpu.two_group.model import (
     TwoGroupParams,
     transition_log_prob,
     paired_transition_log_prob,
+    expand_score_and_observe,
     phantom_state,
 )
 from hygeia_tpu.two_group.proposal import expand_states, initial_states, num_children
@@ -434,22 +435,15 @@ def _one_step(
 
     anc = State(*(f[parents] for f in prev_particles))
 
-    # --- deterministic expansion + densities -------------------------------
-    children = expand_states(anc, params.n_regimes)  # (I, M)
-    # Paired-layout specialised density: ancestor-only factors computed once
-    # at (M,), ~half the (I, M)-grid ops of the generic branch tree
-    # (model.paired_transition_log_prob; equivalence tested).
-    trans_lp = paired_transition_log_prob(params, anc, children)  # (I, M)
-    # Emission lookup as a one-hot select over the R-row of the table at
-    # site t (avoids an (I, M)-shaped gather, slow on TPU).
-    regs = jnp.arange(params.n_regimes)
-    row_c = emission_control[t]  # (R,)
-    row_k = emission_case[t]
-    obs_lp = jnp.sum(
-        jnp.where(children.r_c[..., None] == regs, row_c, 0.0), axis=-1
-    ) + jnp.sum(
-        jnp.where(children.r_k[..., None] == regs, row_k, 0.0), axis=-1
-    )  # (I, M)
+    # --- fused expansion + densities + emission ----------------------------
+    # Slot-structured kernel (model.expand_score_and_observe): the static
+    # child-slot layout collapses the generic (I, M) branch tree to per-
+    # region closed forms — bit-identical to expand_states +
+    # paired_transition_log_prob + the one-hot emission selects
+    # (equivalence tested), measured faster on chip (PERF.md round 3).
+    children, trans_lp, obs_lp = expand_score_and_observe(
+        params, anc, emission_control[t], emission_case[t]
+    )
     log_gamma = jnp.where(
         jnp.isfinite(trans_lp),
         trans_lp.astype(dtype) + obs_lp.astype(dtype),

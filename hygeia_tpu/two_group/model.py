@@ -395,6 +395,231 @@ def paired_transition_log_prob(params: "TwoGroupParams", anc: State, children: S
 
 
 
+def expand_score_and_observe(params: "TwoGroupParams", anc: State, row_c, row_k):
+    """Fused proposal expansion + paired transition density + emission lookup.
+
+    Returns (children State (I, M), trans_lp (I, M), obs_lp (I, M)) — bit-
+    identical to expand_states + paired_transition_log_prob + the one-hot
+    emission select (tests/test_two_group_model.py::test_expand_score_and_
+    observe_matches_composition), but exploiting the STATIC child-slot
+    layout (proposal.expand_states docstring): per slot REGION the generic
+    ~50-op (I, M) branch tree collapses to closed forms —
+
+      cont (slot 0)        every factor is ancestor-only -> (M,) vector
+      ctrl-CP (R-1 slots)  one (R-1, M) select between two STATIC row
+                           slices of the ancestor's log_p row (the
+                           enumerate-{0..R-1}\\{r_k} shift), rest (M,)
+      case-CP (R-1 slots)  one (R-1, M) regime compare, rest (M,)
+      merge (slot 2R-1)    ancestor-only -> (M,)
+      indep (R*R slots)    child fields are CONSTANTS -> log_p/emission
+                           lookups become static gathers; per-ancestor
+                           factors enter via a single (R, M) eq_rk table
+
+    Branch-selection identities used (verified against the generic tree's
+    case logic, case_control_distributions.py:138-151, 246-291): e.g. a
+    ctrl-CP child has c.r_c != r_k and c.r_k == r_k by construction, so
+    in_c is statically false and lp_unif2 is -inf on the d_k==0 edge;
+    continuation children satisfy their duration/regime indicators
+    identically 0. Ancestors with duration 0 (merge children of merged
+    parents) take the changepoint branch at the next site — handled by the
+    (M,) d==0 predicates, NOT assumed away.
+
+    Emission lookups ride the same structure: the (I, M, R) one-hot sums
+    reduce to (M,) selects (cont/merge), shifted static slices (CP blocks),
+    and a STATIC (R*R,) gather for the indep block.
+
+    PRECONDITION (live ancestors only): same as paired_transition_log_prob.
+    """
+    R = params.n_regimes
+    f32 = params.rho_case.dtype
+    NEG = _NEG_INF
+    M = anc.m.shape[0]
+
+    def ind(c):
+        return jnp.where(c, jnp.asarray(0.0, f32), NEG)
+
+    m_p, d_c, r_c, d_k, r_k = anc.m, anc.d_c, anc.r_c, anc.d_k, anc.r_k
+
+    # ---- ancestor-only (M,) -------------------------------------------------
+    rho_c = gather_rho(params.rho_control, d_c, r_c)
+    rho_k = gather_rho(params.rho_case, d_k, r_k)
+    log_rho_c, log1m_rho_c = jnp.log(rho_c), jnp.log1p(-rho_c)
+    log_rho_k, log1m_rho_k = jnp.log(rho_k), jnp.log1p(-rho_k)
+    gate = jnp.minimum(d_k, d_c) >= params.min_duration
+    lpm = params.log_p_merged
+    to0 = jnp.where(m_p == 0, lpm[0, 0], lpm[1, 0])
+    to1 = jnp.where(m_p == 0, lpm[0, 1], lpm[1, 1])
+    regs = jnp.arange(R)
+    safe = jnp.where(jnp.isfinite(params.log_p_control), params.log_p_control, -1e30)
+    oh_anc = (r_c[:, None] == regs).astype(f32)  # (M, R)
+    rows = jax.lax.dot(oh_anc, safe, precision=jax.lax.Precision.HIGHEST)  # (M, R)
+    rowsT = rows.T  # (R, M): rowsT[x] = log_p[r_c[m], x] (unguarded)
+
+    def guard(x):
+        return jnp.where(x <= -1e29, NEG, x)
+
+    diag_lp = guard(jnp.sum(rows * oh_anc, axis=-1))  # log_p[r_c, r_c]
+    eq_rk = regs[:, None] == r_k[None, :]  # (R, M): eq_rk[x] = (x == r_k)
+    # Emission row selects for ancestor-valued regimes.
+    obs_c_anc = jnp.sum(jnp.where(oh_anc == 1.0, row_c, 0.0), axis=-1)  # row_c[r_c]
+    oh_anc_k = (r_k[:, None] == regs).astype(f32)
+    obs_k_anck = jnp.sum(jnp.where(oh_anc_k == 1.0, row_k, 0.0), axis=-1)  # row_k[r_k]
+    obs_c_anck = jnp.sum(jnp.where(oh_anc_k == 1.0, row_c, 0.0), axis=-1)  # row_c[r_k]
+    obs_k_anc = jnp.sum(jnp.where(oh_anc == 1.0, row_k, 0.0), axis=-1)  # row_k[r_c]
+    log_Rm1 = jnp.log(jnp.asarray(R - 1, f32))
+    log_Rm2 = jnp.log(jnp.asarray(R - 2, f32))
+
+    # Shared (M,) sub-terms.
+    lp_m_cp = jnp.where(gate, to0, ind(m_p == 0))  # children.m == 0 regions
+    # continuation-style control factor: d_c==0 ancestors changepoint back.
+    lp_c_cont = jnp.where(d_c == 0, log_rho_c + diag_lp, log1m_rho_c)
+    lp_k_cont_unmerged = jnp.where((r_c == r_k) | (d_k == 0), NEG, log1m_rho_k)
+
+    # ---- cont (slot 0): c = (m_p, d_c+1, r_c, d_k+1, r_k) ------------------
+    lp_m_cont = jnp.where(gate, jnp.where(m_p == 0, to0, to1), jnp.asarray(0.0, f32))
+    lp_k0 = jnp.where(
+        m_p == 1, ind((r_k == r_c) & (d_k == d_c)), lp_k_cont_unmerged
+    )
+    lp_cont = lp_m_cont + lp_c_cont + lp_k0  # (M,)
+    obs_cont = obs_c_anc + obs_k_anck
+
+    # ---- ctrl-CP (R-1 slots): c = (0, 1, enum\{r_k}, d_k+1, r_k) -----------
+    sA = jnp.arange(R - 1)[:, None]  # (R-1, 1) of s-1 for s in 1..R-1
+    shift_mask = sA < r_k[None, :]
+    lp_p_sel = guard(jnp.where(shift_mask, rowsT[:-1], rowsT[1:]))  # (R-1, M)
+    lp_k_ctrlcp = jnp.where(d_k == 0, NEG, log1m_rho_k)
+    lp_ctrl = lp_m_cp[None] + (log_rho_c[None] + lp_p_sel) + lp_k_ctrlcp[None]
+    ctrl_regime = jnp.where(shift_mask, sA, sA + 1).astype(jnp.int32)
+    obs_ctrl = (
+        jnp.where(shift_mask, row_c[:-1, None], row_c[1:, None]) + obs_k_anck[None]
+    )
+
+    # ---- case-CP (R-1 slots): c = (0, d_c+1, r_c, 1, enum\{r_c}) -----------
+    jB = jnp.arange(R - 1)[:, None]
+    shift_mask_k = jB < r_c[None, :]
+    case_regime = jnp.where(shift_mask_k, jB, jB + 1).astype(jnp.int32)
+    log_n_opts = jnp.where(r_c != r_k, log_Rm2, log_Rm1)  # (M,)
+    lp_unif2_case = (
+        ind(case_regime != r_k[None, :]) - log_n_opts[None]
+    )  # (R-1, M)
+    in_b = (m_p == 1) & (d_c != 0)
+    in_c = (r_c == r_k) & (m_p == 0)
+    lp_k_case = jnp.where(
+        in_b[None],
+        -log_Rm1,
+        lp_unif2_case + jnp.where(in_c, jnp.asarray(0.0, f32), log_rho_k)[None],
+    )
+    lp_case = (lp_m_cp + lp_c_cont)[None] + lp_k_case
+    obs_case = obs_c_anc[None] + jnp.where(
+        shift_mask_k, row_k[:-1, None], row_k[1:, None]
+    )
+
+    # ---- merge (slot 2R-1): c = (1, md, r_c, md, r_c), md = m_p?0:d_c+1 ----
+    merge_dur = jnp.where(m_p == 0, d_c + 1, 0)
+    lp_m_merge = jnp.where(gate, to1, ind(m_p == 1))
+    lp_c_merge = jnp.where(
+        (m_p == 0) & (d_c == 0),
+        log_rho_c + diag_lp,
+        jnp.where(m_p == 1, NEG, log1m_rho_c),
+    )
+    lp_merge = lp_m_merge + lp_c_merge  # lp_k (lp_a) == 0
+    obs_merge = obs_c_anc + obs_k_anc
+
+    # ---- indep (R*R slots): c = (i==j, 1, i, 1, j) — static children -------
+    kk = np.arange(R * R, dtype=np.int32)  # host-static: gathers fold
+    I_rc = kk // R  # (R*R,) static
+    I_rk = kk % R
+    I_m = (I_rc == I_rk).astype(np.int32)
+    lp_m_ind = jnp.where(
+        gate[None],
+        jnp.where((I_m == 0)[:, None], to0[None], to1[None]),
+        ind(I_m[:, None] == m_p[None]),
+    )
+    lp_c_ind = log_rho_c[None] + guard(rowsT)[I_rc]  # (R*R, M) static gather
+    eq_rk_f = eq_rk  # (R, M) bool
+    lp_unif2_ind = ind(~eq_rk_f[I_rk]) - jnp.where(
+        ~eq_rk_f[I_rc], log_Rm2, log_Rm1
+    )
+    in_c_ind = eq_rk_f[I_rc] & (m_p == 0)[None]
+    lp_k_ind = jnp.where(
+        (I_m == 1)[:, None],
+        jnp.asarray(0.0, f32),
+        lp_unif2_ind + jnp.where(in_c_ind, jnp.asarray(0.0, f32), log_rho_k[None]),
+    )
+    lp_ind = lp_m_ind + lp_c_ind + lp_k_ind
+    obs_ind = (row_c[I_rc] + row_k[I_rk])[:, None]  # STATIC (R*R,) gather
+
+    # ---- assemble (I, M) ----------------------------------------------------
+    trans_lp = jnp.concatenate(
+        [lp_cont[None], lp_ctrl, lp_case, lp_merge[None], lp_ind], axis=0
+    )
+    obs_lp = jnp.concatenate(
+        [
+            obs_cont[None],
+            obs_ctrl,
+            obs_case,
+            obs_merge[None],
+            jnp.broadcast_to(obs_ind, (R * R, M)),
+        ],
+        axis=0,
+    )
+
+    bT = lambda x: jnp.broadcast_to(x, (R - 1, M)).astype(jnp.int32)
+    i32 = lambda x: x.astype(jnp.int32)
+    children = State(
+        m=jnp.concatenate(
+            [
+                i32(m_p)[None],
+                jnp.zeros((2 * (R - 1), M), jnp.int32),
+                jnp.ones((1, M), jnp.int32),
+                jnp.broadcast_to(I_m[:, None], (R * R, M)),
+            ],
+            axis=0,
+        ),
+        d_c=jnp.concatenate(
+            [
+                i32(d_c + 1)[None],
+                jnp.ones((R - 1, M), jnp.int32),
+                bT(i32(d_c + 1)[None]),
+                i32(merge_dur)[None],
+                jnp.ones((R * R, M), jnp.int32),
+            ],
+            axis=0,
+        ),
+        r_c=jnp.concatenate(
+            [
+                i32(r_c)[None],
+                ctrl_regime,
+                bT(i32(r_c)[None]),
+                i32(r_c)[None],
+                jnp.broadcast_to(I_rc[:, None], (R * R, M)),
+            ],
+            axis=0,
+        ),
+        d_k=jnp.concatenate(
+            [
+                i32(d_k + 1)[None],
+                bT(i32(d_k + 1)[None]),
+                jnp.ones((R - 1, M), jnp.int32),
+                i32(merge_dur)[None],
+                jnp.ones((R * R, M), jnp.int32),
+            ],
+            axis=0,
+        ),
+        r_k=jnp.concatenate(
+            [
+                i32(r_k)[None],
+                bT(i32(r_k)[None]),
+                case_regime,
+                i32(r_c)[None],
+                jnp.broadcast_to(I_rk[:, None], (R * R, M)),
+            ],
+            axis=0,
+        ),
+    )
+    return children, trans_lp, obs_lp
+
+
 def phantom_state(phantom_regime, batch_shape=()):
     """The phantom previous state used for the initial distribution
     (intitial_state_dist, case_control_regime_model.py:234-244): merged, with

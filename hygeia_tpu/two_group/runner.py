@@ -274,21 +274,7 @@ def infer_segment(
                         multinomial=multinomial,
                         weight_dtype=weight_dtype,
                     )
-                    # float32 like the device-side smoothing_functionals.
-                    split_v = (traj_np[..., 0] == 0).mean(axis=2).astype(np.float32)
-                    regime_v = np.concatenate(
-                        [
-                            np.stack(
-                                [(traj_np[..., 2] == r).mean(axis=2) for r in range(R)],
-                                -1,
-                            ),
-                            np.stack(
-                                [(traj_np[..., 4] == r).mean(axis=2) for r in range(R)],
-                                -1,
-                            ),
-                        ],
-                        axis=-1,
-                    ).astype(np.float32)
+                    split_v, regime_v = _traj_functionals_np(traj_np, R)
                     traj_v = traj_np
                 else:
                     log_z_v, degen_v, traj_v, split_v, regime_v = (
@@ -362,6 +348,284 @@ def infer_segment(
         with open(os.path.join(path, f"optimal_time_backward_{s}.txt"), "w") as f:
             print(times_backward[s], file=f)
     return all_log_norm if len(seeds) > 1 else all_log_norm[seeds[0]]
+
+
+def _traj_functionals_np(traj_np, R):
+    """split/regime smoothing functionals from a host (U, T, B, 5) int32
+    trajectory batch — float32 like the device-side smoothing_functionals."""
+    split_v = (traj_np[..., 0] == 0).mean(axis=2).astype(np.float32)
+    regime_v = np.concatenate(
+        [
+            np.stack(
+                [(traj_np[..., 2] == r).mean(axis=2) for r in range(R)], -1
+            ),
+            np.stack(
+                [(traj_np[..., 4] == r).mean(axis=2) for r in range(R)], -1
+            ),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return split_v, regime_v
+
+
+def infer_chromosome_streamed(
+    *,
+    data_dir,
+    single_group_dir,
+    results_dir,
+    chrom,
+    seed=(0,),
+    segment_size=100000,
+    buffer_size=5000,
+    mu=DEFAULT_MU,
+    sigma=DEFAULT_SIGMA,
+    minimum_duration=3,
+    omega_case=0.8,
+    merge_log_prob=np.log(0.1),
+    split_prob=0.01,
+    num_resampled_particles=(50,),
+    num_samples_backward=25,
+    multinomial=False,
+    robust=False,
+    robust_beta=0.05,
+    weight_dtype=jnp.float32,
+    streaming_blocks=16384,
+    max_units_per_call=None,
+):
+    """Whole-chromosome INFER via the streaming engine with CROSS-SEGMENT
+    unit batching: every (batch, seed) work unit whose device window has the
+    same length is vmapped into the same streamed dispatches (streaming.py
+    3-D emissions), instead of one `infer_segment` call per batch.
+
+    Why: the filter scan is latency-bound in the number of resident units —
+    residency is throughput (PERF.md) — and a chromosome offers
+    n_batches x n_seeds independent units while one segment offers only
+    n_seeds. Windows group into at most three lengths (first batch misses
+    the left halo, the last is the remainder; run_inference_two_groups.py:
+    194-218), so interior batches all share one program.
+
+    Outputs are BIT-IDENTICAL to running `infer_segment(streaming_blocks=W)`
+    once per batch with the same seeds (same per-unit PRNG keys, same
+    per-window d_max, vmap only adds the unit lane — covered by
+    tests/test_streaming.py::test_infer_chromosome_streamed_matches_per_batch)
+    except the optimal_time_* timing files.
+    """
+    mu = np.asarray(mu, np.float64)
+    R = len(mu)
+    theta = hio.read_theta(
+        os.path.join(single_group_dir, f"theta_{chrom}.csv.gz")
+    )
+    p_softmax, omega_logit_control = hio.theta_file_to_p_softmax(theta, R)
+    positions_all = hio.read_positions(
+        os.path.join(data_dir, f"positions_{chrom}.txt.gz")
+    )
+
+    def _load_full(name):
+        return hio.read_count_matrix(
+            os.path.join(data_dir, f"{name}_{chrom}.txt.gz")
+        )
+
+    n_total_control_all = _load_full("n_total_reads_control")
+    n_meth_control_all = _load_full("n_methylated_reads_control")
+    n_total_case_all = _load_full("n_total_reads_case")
+    n_meth_case_all = _load_full("n_methylated_reads_case")
+    assert np.sum(n_total_case_all < n_meth_case_all) == 0
+    assert np.sum(n_total_control_all < n_meth_control_all) == 0
+
+    seeds = [seed] if np.isscalar(seed) else list(seed)
+    B = num_samples_backward
+    W = int(streaming_blocks)
+    n_batches = 1 + len(positions_all) // segment_size
+
+    # Per-batch windows, sliced counts, input CSVs (infer_segment parity).
+    wins = {}
+    for batch in range(n_batches):
+        window = segment_window(
+            len(positions_all), batch, segment_size, buffer_size
+        )
+        if window is None:
+            continue
+        sl_r, ret_r = window
+        sl = slice(sl_r.start, sl_r.stop)
+        ret = slice(ret_r.start, ret_r.stop)
+        counts = {
+            "n_meth_control": n_meth_control_all[sl],
+            "n_total_control": n_total_control_all[sl],
+            "n_meth_case": n_meth_case_all[sl],
+            "n_total_case": n_total_case_all[sl],
+        }
+        path = os.path.join(results_dir, f"chrom_{chrom}_{batch}")
+        os.makedirs(path, exist_ok=True)
+        hio.write_count_matrix(
+            os.path.join(path, "observations_control.csv.gz"),
+            counts["n_meth_control"].astype(np.int16)[ret],
+        )
+        hio.write_count_matrix(
+            os.path.join(path, "observations_case.csv.gz"),
+            counts["n_meth_case"].astype(np.int16)[ret],
+        )
+        hio.write_count_matrix(
+            os.path.join(path, "n_total_reads_control.csv.gz"),
+            counts["n_total_control"].astype(np.int16)[ret],
+        )
+        hio.write_count_matrix(
+            os.path.join(path, "n_total_reads_case.csv.gz"),
+            counts["n_total_case"].astype(np.int16)[ret],
+        )
+        hio.write_count_matrix(
+            os.path.join(path, "positions.csv.gz"), positions_all[sl][ret]
+        )
+        wins[batch] = (sl.stop - sl.start, ret, counts, path)
+
+    all_log_norm = {b: {s: {} for s in seeds} for b in wins}
+    times = {b: {s: {} for s in seeds} for b in wins}
+    hbm_budget = float(os.environ.get("HYGEIA_HBM_BUDGET_GB", 13.5)) * 2**30
+
+    # Group batches by device-window length: same T_w -> same d_max, same
+    # program shapes -> batchable units.
+    groups = {}
+    for batch, (t_w, _, _, _) in wins.items():
+        groups.setdefault(t_w, []).append(batch)
+
+    from hygeia_tpu.two_group.streaming import streamed_inference
+
+    for M in num_resampled_particles:
+        N = M * (2 * R + R * R)
+        for t_w, group_batches in sorted(groups.items()):
+            params = make_params(
+                mu=mu,
+                sigma=sigma,
+                p_softmax_control=p_softmax,
+                omega_logit_control=omega_logit_control,
+                omega_case=omega_case,
+                kappa_control=np.full(R, 2.0),
+                kappa_case=np.full(R, 2.0),
+                merge_log_prob=merge_log_prob,
+                split_prob=split_prob,
+                minimum_duration=minimum_duration,
+                d_max=max(64, t_w + 1),
+            )
+            emis = {}
+            for b in group_batches:
+                c = wins[b][2]
+                if robust:
+                    from hygeia_tpu.ops.emissions import (
+                        robust_emission_log_prob_table,
+                    )
+
+                    emis[b] = (
+                        robust_emission_log_prob_table(
+                            c["n_meth_control"], c["n_total_control"],
+                            params.alpha, params.beta, robust_beta,
+                        ),
+                        robust_emission_log_prob_table(
+                            c["n_meth_case"], c["n_total_case"],
+                            params.alpha, params.beta, robust_beta,
+                        ),
+                    )
+                else:
+                    emis[b] = (
+                        emission_log_prob_table(
+                            c["n_meth_control"], c["n_total_control"],
+                            params.alpha, params.beta,
+                        ),
+                        emission_log_prob_table(
+                            c["n_meth_case"], c["n_total_case"],
+                            params.alpha, params.beta,
+                        ),
+                    )
+
+            units = [(b, s) for b in group_batches for s in seeds]
+            per_unit = min(t_w, W) * N * 34
+            units_per_call = max(1, int(hbm_budget // max(per_unit, 1)))
+            if max_units_per_call is not None:
+                units_per_call = min(units_per_call, int(max_units_per_call))
+
+            for c0 in range(0, len(units), units_per_call):
+                chunk = units[c0 : c0 + units_per_call]
+                keys = jnp.stack([jax.random.PRNGKey(s) for _, s in chunk])
+                E_c_u = jnp.stack([emis[b][0] for b, _ in chunk])
+                E_k_u = jnp.stack([emis[b][1] for b, _ in chunk])
+                t0 = time.time()
+                traj_np, log_z_v, degen_v = streamed_inference(
+                    keys, params, E_c_u, E_k_u, M, B,
+                    block_size=W,
+                    multinomial=multinomial,
+                    weight_dtype=weight_dtype,
+                )
+                t_chunk = time.time() - t0
+                split_v, regime_v = _traj_functionals_np(traj_np, R)
+                for i, (b, s) in enumerate(chunk):
+                    d = int(degen_v[i])
+                    if d:
+                        print(
+                            f"WARNING: batch {b} seed {s}: {d} degenerate "
+                            "filter steps"
+                        )
+                    _, ret, _, path = wins[b]
+                    traj = traj_np[i]
+                    np.savez_compressed(
+                        os.path.join(
+                            path,
+                            f"optimal_backward_particles_merged_state_{N}_{s}",
+                        ),
+                        traj[:, :, 0].astype(np.int16)[ret],
+                    )
+                    np.savez_compressed(
+                        os.path.join(
+                            path,
+                            f"optimal_backward_particles_control_state_{N}_{s}",
+                        ),
+                        traj[:, :, 1:3].astype(np.int32)[ret],
+                    )
+                    np.savez_compressed(
+                        os.path.join(
+                            path,
+                            f"optimal_backward_particles_case_state_{N}_{s}",
+                        ),
+                        traj[:, :, 3:5].astype(np.int32)[ret],
+                    )
+                    np.savez_compressed(
+                        os.path.join(path, f"optimal_split_probs_{N}_{s}"),
+                        split_v[i],
+                    )
+                    np.savez_compressed(
+                        os.path.join(path, f"optimal_regime_probs_{N}_{s}"),
+                        regime_v[i],
+                    )
+                    all_log_norm[b][s][N] = float(log_z_v[i])
+                    times[b][s][N] = t_chunk / len(chunk)
+
+    for batch, (t_w, ret, counts, path) in wins.items():
+        flags = {
+            "chrom": str(chrom), "batch": batch, "segment_size": segment_size,
+            "buffer_size": buffer_size, "mu": list(map(float, mu)),
+            "sigma": list(map(float, np.asarray(sigma, np.float64))),
+            "minimum_duration": minimum_duration, "omega_case": omega_case,
+            "merge_log_prob": float(merge_log_prob), "split_prob": split_prob,
+            "num_resampled_particles": list(num_resampled_particles),
+            "num_samples_backward": num_samples_backward,
+            "multinomial": multinomial, "robust": robust, "marginal": False,
+            "streaming_blocks": streaming_blocks,
+        }
+        for s in seeds:
+            with open(os.path.join(path, f"flags{s}.txt"), "w") as f:
+                for k, v in {**flags, "seed": s}.items():
+                    print(f"--{k}={v}", file=f)
+            with open(
+                os.path.join(
+                    path, f"log_normalizing_constants_optimal_{s}.txt"
+                ),
+                "w",
+            ) as f:
+                print(all_log_norm[batch][s], file=f)
+            with open(os.path.join(path, f"optimal_time_{s}.txt"), "w") as f:
+                print(times[batch][s], file=f)
+            with open(
+                os.path.join(path, f"optimal_time_backward_{s}.txt"), "w"
+            ) as f:
+                print({n: 0.0 for n in times[batch][s]}, file=f)
+    return all_log_norm
 
 
 def infer_chromosome_meshed(

@@ -97,58 +97,77 @@ def _programs(M, B, multinomial, weight_dtype, phantom_regime, params):
 
     @jax.jit
     def fwd_cold(arrs, ks, ec, ek):
-        def one(k):
-            r = _filter_block(arrs, k, ec, ek, None, None, False)
+        def one(k, ec1, ek1):
+            r = _filter_block(arrs, k, ec1, ek1, None, None, False)
             return r.log_weights, r.particles
 
-        return jax.vmap(one)(ks)
+        return jax.vmap(one)(ks, ec, ek)
 
     @jax.jit
     def fwd_warm(arrs, ks, ec, ek, lw0, p0):
-        def one(k, l0, q0):
+        def one(k, ec1, ek1, l0, q0):
             r = _filter_block(
-                arrs, k, ec, ek, (l0, q0), jnp.asarray(True), False
+                arrs, k, ec1, ek1, (l0, q0), jnp.asarray(True), False
             )
             return r.log_weights, r.particles
 
-        return jax.vmap(one)(ks, lw0, p0)
+        return jax.vmap(one)(ks, ec, ek, lw0, p0)
 
     def _pack(traj):
         # Trajectory D2H rides a ~21 MB/s tunnel that does NOT overlap
-        # compute, so the transfer is packed: (m, r_c, r_k) int8 + the two
-        # durations int32 — 11 B/element instead of 20 B (field order is
-        # State's (m, d_c, r_c, d_k, r_k)).
-        small = traj[..., jnp.array([0, 2, 4])].astype(jnp.int8)
-        dur = traj[..., jnp.array([1, 3])]
-        return small, dur
+        # compute, so the transfer is packed to 2 B/element. The duration
+        # fields are NOT transferred at all: every sampled transition
+        # satisfies d_next == 1 (changepoint) or d_next == d_prev + 1
+        # (continuation) — backward simulation only draws transition-
+        # compatible pairs, and the conditioned variant preserves this
+        # across block joins — so a 1-bit reset flag (d == 1) plus the
+        # trajectory's first-site durations reconstruct both int32 duration
+        # fields exactly on the host (_reconstruct_durations).
+        #   byte0 = r_c | (d_c==1)<<5 | m<<6      byte1 = r_k | (d_k==1)<<5
+        # (r < 32 asserted by streamed_inference; field order is State's
+        # (m, d_c, r_c, d_k, r_k).)
+        m = traj[..., 0]
+        b0 = (traj[..., 2] & 31) | jnp.where(traj[..., 1] == 1, 32, 0) | (m << 6)
+        b1 = (traj[..., 4] & 31) | jnp.where(traj[..., 3] == 1, 32, 0)
+        return jnp.stack([b0, b1], axis=-1).astype(jnp.uint8)
 
     @jax.jit
     def rev_cold(arrs, ks, bks, ec, ek, term, use_term):
         params = TwoGroupParams(n_regimes, min_duration, *arrs)
 
-        def one(k, bk, tm):
-            r = _filter_block(arrs, k, ec, ek, None, None, True)
+        def one(k, bk, ec1, ek1, tm):
+            r = _filter_block(arrs, k, ec1, ek1, None, None, True)
             traj = backward_simulation_conditioned(
                 bk, params, r.log_weights, r.particles, tm, use_term
             )
-            return _pack(traj), r.log_normalizing_constant, r.degenerate_steps
+            return (
+                _pack(traj),
+                traj[0],  # (B, 5) first-site states: left-neighbour term + d0
+                r.log_normalizing_constant,
+                r.degenerate_steps,
+            )
 
-        return jax.vmap(one)(ks, bks, term)
+        return jax.vmap(one)(ks, bks, ec, ek, term)
 
     @jax.jit
     def rev_warm(arrs, ks, bks, ec, ek, lw0, p0, term, use_term):
         params = TwoGroupParams(n_regimes, min_duration, *arrs)
 
-        def one(k, bk, l0, q0, tm):
+        def one(k, bk, ec1, ek1, l0, q0, tm):
             r = _filter_block(
-                arrs, k, ec, ek, (l0, q0), jnp.asarray(True), True
+                arrs, k, ec1, ek1, (l0, q0), jnp.asarray(True), True
             )
             traj = backward_simulation_conditioned(
                 bk, params, r.log_weights, r.particles, tm, use_term
             )
-            return _pack(traj), r.log_normalizing_constant, r.degenerate_steps
+            return (
+                _pack(traj),
+                traj[0],
+                r.log_normalizing_constant,
+                r.degenerate_steps,
+            )
 
-        return jax.vmap(one)(ks, bks, lw0, p0, term)
+        return jax.vmap(one)(ks, bks, ec, ek, lw0, p0, term)
 
     progs = {
         "fwd_cold": fwd_cold,
@@ -161,10 +180,10 @@ def _programs(M, B, multinomial, weight_dtype, phantom_regime, params):
 
 
 def streamed_inference(
-    keys,  # (S, 2) uint32 — one PRNG key per seed
+    keys,  # (S, 2) uint32 — one PRNG key per work unit
     params,
-    emission_control,  # (T, R)
-    emission_case,  # (T, R)
+    emission_control,  # (T, R) shared, or (S, T, R) per-unit
+    emission_case,  # same shape as emission_control
     num_resampled_ancestors: int,
     num_samples_backward: int,
     *,
@@ -176,12 +195,24 @@ def streamed_inference(
 ):
     """Returns (traj (S, T, B, 5) int32 np, log_z (S,) np, degenerate (S,) np).
 
-    Seeds are vmapped inside every block dispatch; the block loop runs on
-    the host (n_blocks * 3 dispatches of ~seconds each — the ~30 ms tunnel
-    latency is noise). Pass ``timings={}`` to capture per-dispatch walls
-    (lists keyed "fwd"/"rev"/"pull", seconds) for the perf harness.
+    A "unit" is an independent (segment, seed) inference: S units are vmapped
+    inside every block dispatch. With 2-D emissions all units share one
+    segment's observations (seed parallelism); with 3-D (S, T, R) emissions
+    each unit carries its own segment (cross-segment batching — the workload
+    is latency-bound along the scan, so per-site cost is nearly flat in S
+    until HBM runs out; residency IS throughput, PERF.md). The block loop
+    runs on the host (n_blocks * 3 dispatches of ~seconds each — the ~30 ms
+    tunnel latency is noise). Pass ``timings={}`` to capture per-dispatch
+    walls (lists keyed "fwd"/"rev"/"pull", seconds) for the perf harness.
     """
-    T = emission_control.shape[0]
+    keys = jnp.asarray(keys)
+    S = keys.shape[0]
+    e_c = jnp.asarray(emission_control)
+    e_k = jnp.asarray(emission_case)
+    if e_c.ndim == 2:
+        e_c = jnp.broadcast_to(e_c[None], (S,) + e_c.shape)
+        e_k = jnp.broadcast_to(e_k[None], (S,) + e_k.shape)
+    T = e_c.shape[1]
     B = num_samples_backward
     W = int(min(block_size, T))
     n_blocks = -(-T // W)
@@ -192,9 +223,6 @@ def streamed_inference(
         params,
     )
     arrs = tuple(params[2:])  # array leaves; statics ride in the program cfg
-    e_c = jnp.asarray(emission_control)
-    e_k = jnp.asarray(emission_case)
-    keys = jnp.asarray(keys)
 
     def _t(kind, fn):
         if timings is None:
@@ -215,12 +243,12 @@ def streamed_inference(
             break  # single block: the reverse sweep cold-starts directly
         ks = block_key(keys, b)
         if b == 0:
-            state = _t("fwd", lambda: pg["fwd_cold"](arrs, ks, e_c[lo:hi], e_k[lo:hi]))
+            state = _t("fwd", lambda: pg["fwd_cold"](arrs, ks, e_c[:, lo:hi], e_k[:, lo:hi]))
         else:
             state = _t(
                 "fwd",
                 lambda: pg["fwd_warm"](
-                    arrs, ks, e_c[lo:hi], e_k[lo:hi], state[0], state[1]
+                    arrs, ks, e_c[:, lo:hi], e_k[:, lo:hi], state[0], state[1]
                 ),
             )
         if b < n_blocks - 1:
@@ -229,17 +257,16 @@ def streamed_inference(
             ckpts[b] = state
 
     # --- reverse conditioned-backward sweep ---------------------------------
-    # Trajectory blocks stay ON DEVICE during the sweep with asynchronous
-    # host copies kicked off as soon as each block is sampled, so the
-    # ~21 MB/s tunnel D2H transfer overlaps the next block's compute
-    # (synchronous per-block np.asarray pulls serialized ~1.6 s/block).
-    # The next block only needs the (S, B, 5) first-site states, which are
-    # sliced device-side (the previous revision round-tripped them through
-    # the host copy).
-    S = keys.shape[0]
-    dev_blocks = [None] * n_blocks
-    log_z = np.zeros((S,), np.float64)
-    degen = np.zeros((S,), np.int64)
+    # The ENTIRE reverse chain is dispatched asynchronously first: each
+    # block's conditioning terminal is the (S, B, 5) device-side first-site
+    # slice of the block to its right, so no host value enters the chain.
+    # The drain loop below then pulls each 2 B/element packed block and
+    # decodes + reconstructs it on the host WHILE the device is still
+    # computing earlier blocks — on this 2-core host the per-block decode +
+    # duration reconstruction (~2 s) would otherwise serialize after the
+    # sweep (measured 14 s at T=110k, S=8, erasing the packing win).
+    assert params.n_regimes <= 31, "2-byte trajectory packing needs r < 32"
+    chain = [None] * n_blocks
     term = jnp.zeros((S, B, 5), jnp.int32)  # dummy for the last block
     use_term = jnp.asarray(False)
     for b in range(n_blocks - 1, -1, -1):
@@ -247,43 +274,58 @@ def streamed_inference(
         ks = block_key(keys, b)
         bks = jax.vmap(lambda k: jax.random.fold_in(k, 1))(ks)
         if b == 0:
-            (small, dur), lz, dg = _t(
-                "rev",
-                lambda: pg["rev_cold"](
-                    arrs, ks, bks, e_c[lo:hi], e_k[lo:hi], term, use_term
-                ),
+            chain[b] = pg["rev_cold"](
+                arrs, ks, bks, e_c[:, lo:hi], e_k[:, lo:hi], term, use_term
             )
         else:
             lw0, p0 = ckpts[b - 1]
-            (small, dur), lz, dg = _t(
-                "rev",
-                lambda: pg["rev_warm"](
-                    arrs, ks, bks, e_c[lo:hi], e_k[lo:hi], lw0, p0, term, use_term
-                ),
+            chain[b] = pg["rev_warm"](
+                arrs, ks, bks, e_c[:, lo:hi], e_k[:, lo:hi], lw0, p0, term, use_term
             )
-        dev_blocks[b] = (small, dur)  # packed, device-resident
-        log_z += np.asarray(lz, np.float64)
-        degen += np.asarray(dg, np.int64)
-        # First-site states for the left neighbour, assembled device-side in
-        # State field order (m, d_c, r_c, d_k, r_k).
-        s0, d0 = small[:, 0].astype(jnp.int32), dur[:, 0]
-        term = jnp.stack(
-            [s0[..., 0], d0[..., 0], s0[..., 1], d0[..., 1], s0[..., 2]],
-            axis=-1,
-        )
+        # (S, B, 5) first-site states: the left neighbour's conditioning
+        # terminal, consumed device-side — the chain never syncs on the host.
+        term = chain[b][1]
         use_term = jnp.asarray(True)
 
-    # Pull the packed blocks (11 B/element vs 20 unpacked — the tunnel D2H
-    # is the production bottleneck at ~21 MB/s) and reassemble on host.
+    log_z = np.zeros((S,), np.float64)
+    degen = np.zeros((S,), np.int64)
     traj_full = np.empty((S, T, B, 5), np.int32)
-    for b, (lo, hi) in enumerate(bounds):
-        small, dur = dev_blocks[b]
-        small_h = _t("pull", lambda: np.asarray(small))
-        dur_h = _t("pull", lambda: np.asarray(dur))
-        blk = traj_full[:, lo:hi]
-        blk[..., 0] = small_h[..., 0]
-        blk[..., 2] = small_h[..., 1]
-        blk[..., 4] = small_h[..., 2]
-        blk[..., 1] = dur_h[..., 0]
-        blk[..., 3] = dur_h[..., 1]
+    for b in range(n_blocks - 1, -1, -1):  # completion order
+        lo, hi = bounds[b]
+        packed, first, lz, dg = chain[b]
+        pk_b = _t("pull", lambda: np.asarray(packed))  # (S, W, B, 2) uint8
+        d0_b = np.asarray(first[..., jnp.array([1, 3])])  # (S, B, 2) tiny
+        _t("host", lambda: _fill_block(traj_full[:, lo:hi], pk_b, d0_b))
+        log_z += np.asarray(lz, np.float64)
+        degen += np.asarray(dg, np.int64)
     return traj_full, log_z, degen
+
+
+def _fill_block(out, pk, d0):
+    """Decode one packed block into `out` (S, W, B, 5) int32, reconstructing
+    the duration fields from the reset bits.
+
+    Valid trajectories satisfy d_t == 1 (reset bit) or d_t == d_{t-1} + 1
+    (transition support, model.py transition_log_prob) — including across
+    block joins (conditioned backward) — so within a block
+    d_t = t - last_reset_at_or_before(t) + 1, seeded with a virtual reset at
+    position 1 - d0 (d0 = the block's first-site durations) that makes the
+    formula exact before the first in-block reset.
+    """
+    S, W, B, _ = pk.shape
+    t = np.arange(W, dtype=np.int32)[None, :, None]
+    p0 = pk[..., 0]
+    p1 = pk[..., 1]
+    out[..., 0] = (p0 >> 6) & 1
+    out[..., 2] = p0 & 31
+    out[..., 4] = p1 & 31
+    for field, p, col in ((1, p0, 0), (3, p1, 1)):
+        pos = np.where(
+            ((p >> 5) & 1).astype(bool),
+            t,
+            (np.int32(1) - d0[:, None, :, col]),
+        )
+        np.maximum.accumulate(pos, axis=1, out=pos)
+        np.subtract(t, pos, out=pos)
+        pos += 1
+        out[..., field] = pos

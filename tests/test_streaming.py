@@ -126,3 +126,113 @@ def test_infer_segment_streaming_writes_same_files(tmp_path):
     sp_m = np.load(mono / f"optimal_split_probs_{N}_0.npz")["arr_0"]
     sp_s = np.load(stream / f"optimal_split_probs_{N}_0.npz")["arr_0"]
     assert float(np.abs(sp_m - sp_s).mean()) < 0.25
+
+
+def test_streamed_cross_segment_batching_matches_per_unit_runs():
+    """3-D (S, T, R) emissions batch DIFFERENT segments into one streamed
+    dispatch (cross-segment residency — PERF.md: residency is throughput).
+    Each batched unit must reproduce its own single-unit run exactly: the
+    per-unit key stream and block structure are identical, vmap only adds a
+    leading lane."""
+    T, R = 12, 3
+    params = default_params(R=R, min_duration=2, d_max=32)
+    rng = np.random.default_rng(23)
+    E = []
+    for _ in range(2):
+        n_c = rng.poisson(25, size=(T, 1)).astype(np.float64)
+        n_k = rng.poisson(25, size=(T, 1)).astype(np.float64)
+        y_c = np.minimum(rng.poisson(10, size=(T, 1)), n_c)
+        y_k = np.minimum(rng.poisson(10, size=(T, 1)), n_k)
+        E.append(
+            (
+                emission_log_prob_table(y_c, n_c, params.alpha, params.beta, dtype=jnp.float64),
+                emission_log_prob_table(y_k, n_k, params.alpha, params.beta, dtype=jnp.float64),
+            )
+        )
+    M, B = 40, 50
+    keys = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(7)])
+    E_c = jnp.stack([e[0] for e in E])
+    E_k = jnp.stack([e[1] for e in E])
+    traj_b, lz_b, dg_b = streamed_inference(
+        keys, params, E_c, E_k, M, B, block_size=5,
+        weight_dtype=jnp.float64, phantom_regime=1,
+    )
+    for u in range(2):
+        traj_u, lz_u, dg_u = streamed_inference(
+            keys[u : u + 1], params, E[u][0], E[u][1], M, B, block_size=5,
+            weight_dtype=jnp.float64, phantom_regime=1,
+        )
+        np.testing.assert_array_equal(traj_b[u], traj_u[0])
+        np.testing.assert_allclose(lz_b[u], lz_u[0], rtol=1e-12)
+        assert dg_b[u] == dg_u[0]
+
+
+def test_infer_chromosome_streamed_matches_per_batch(tmp_path):
+    """Cross-segment batched chromosome INFER (runner.infer_chromosome_
+    streamed) writes BIT-IDENTICAL outputs to per-batch
+    infer_segment(streaming_blocks=W) runs — same per-unit keys, same
+    per-window-length d_max; only the optimal_time_* files may differ."""
+    from hygeia_tpu.two_group.runner import (
+        infer_chromosome_streamed,
+        infer_segment,
+    )
+    from hygeia_tpu.single_group.model import parameters_to_theta
+    from hygeia_tpu.utils import io as hio
+
+    R, T = 6, 200
+    rng = np.random.default_rng(5)
+    P = np.full((R, R), 1.0 / (R - 1))
+    np.fill_diagonal(P, 0.0)
+    data, sg = tmp_path / "data", tmp_path / "sg"
+    data.mkdir(), sg.mkdir()
+    hio.write_theta(sg / "theta_c.csv.gz", parameters_to_theta(P, np.full(R, 0.9)))
+    n = rng.poisson(30, size=(T, 2)).astype(np.float32)
+    y = np.minimum(rng.poisson(9, size=(T, 2)), n).astype(np.float32)
+    hio.write_count_matrix(data / "positions_c.txt.gz", np.arange(1, T + 1) * 7)
+    hio.write_count_matrix(data / "n_total_reads_control_c.txt.gz", n)
+    hio.write_count_matrix(data / "n_total_reads_case_c.txt.gz", n)
+    hio.write_count_matrix(data / "n_methylated_reads_control_c.txt.gz", y)
+    hio.write_count_matrix(
+        data / "n_methylated_reads_case_c.txt.gz", np.minimum(y + 3, n)
+    )
+
+    common = dict(
+        data_dir=str(data), single_group_dir=str(sg), chrom="c",
+        seed=[0, 1], segment_size=70, buffer_size=10,
+        num_resampled_particles=(6,), num_samples_backward=8,
+    )
+    # 3 batches with 3 distinct window lengths (80 / 90 / 70) -> exercises
+    # the window-length grouping; 2 seeds -> 6 units total.
+    infer_chromosome_streamed(
+        results_dir=str(tmp_path / "batched"), streaming_blocks=32, **common
+    )
+    for batch in range(3):
+        infer_segment(
+            results_dir=str(tmp_path / "perbatch"), batch=batch,
+            streaming_blocks=32, **common
+        )
+    for batch in range(3):
+        a = tmp_path / "batched" / f"chrom_c_{batch}"
+        b = tmp_path / "perbatch" / f"chrom_c_{batch}"
+        a_files = sorted(p.name for p in a.iterdir())
+        b_files = sorted(p.name for p in b.iterdir())
+        assert a_files == b_files, batch
+        for name in a_files:
+            if name.startswith("optimal_time"):
+                continue
+            if name.endswith(".npz"):
+                x = np.load(a / name)["arr_0"]
+                z = np.load(b / name)["arr_0"]
+                np.testing.assert_array_equal(x, z, err_msg=f"{batch}/{name}")
+            elif name.endswith(".gz"):
+                # gzip headers embed an mtime; compare decompressed bytes.
+                import gzip
+
+                assert gzip.decompress(
+                    (a / name).read_bytes()
+                ) == gzip.decompress((b / name).read_bytes()), (batch, name)
+            else:
+                assert (a / name).read_bytes() == (b / name).read_bytes(), (
+                    batch,
+                    name,
+                )

@@ -169,3 +169,60 @@ def test_initial_states_matches_reference():
     got = np.stack([np.asarray(f) for f in props], axis=-1)
     expected = np.array(_non_resampled_reference(R), np.int32)
     np.testing.assert_array_equal(got, expected)
+
+
+def test_expand_score_and_observe_matches_composition():
+    """The fused slot-structured kernel (model.expand_score_and_observe) is
+    BIT-IDENTICAL to expand_states + paired_transition_log_prob + the one-hot
+    emission selects — including duration-0 ancestors (merge children of
+    merged parents), r_c == r_k collisions, and below-gate states."""
+    import numpy as np
+    from hygeia_tpu.two_group.model import (
+        State,
+        expand_score_and_observe,
+        paired_transition_log_prob,
+    )
+    from hygeia_tpu.two_group.proposal import expand_states
+    from tests.test_two_group_filter import default_params
+
+    for R, md, trial in [(3, 2, 0), (6, 3, 1), (6, 1, 2), (4, 2, 3)]:
+        params = default_params(R=R, min_duration=md, d_max=64)
+        rng = np.random.default_rng(trial)
+        M = 37
+        m = rng.integers(0, 2, M)
+        r_c = rng.integers(0, R, M)
+        # merged ancestors share regime/duration like real filter states
+        r_k = np.where(m == 1, r_c, rng.integers(0, R, M))
+        d_c = rng.integers(0, 8, M)  # incl. duration 0 (merge-of-merged)
+        d_k = np.where(m == 1, d_c, rng.integers(0, 8, M))
+        # also a few free-form (non-invariant) states to stress every branch
+        free = rng.random(M) < 0.3
+        r_k = np.where(free, rng.integers(0, R, M), r_k)
+        d_k = np.where(free, rng.integers(0, 8, M), d_k)
+        anc = State(
+            m=jnp.asarray(m, jnp.int32),
+            d_c=jnp.asarray(d_c, jnp.int32),
+            r_c=jnp.asarray(r_c, jnp.int32),
+            d_k=jnp.asarray(d_k, jnp.int32),
+            r_k=jnp.asarray(r_k, jnp.int32),
+        )
+        row_c = jnp.asarray(rng.normal(size=R))
+        row_k = jnp.asarray(rng.normal(size=R))
+
+        children, trans_lp, obs_lp = expand_score_and_observe(
+            params, anc, row_c, row_k
+        )
+        ref_children = expand_states(anc, R)
+        ref_trans = paired_transition_log_prob(params, anc, ref_children)
+        regs = jnp.arange(R)
+        ref_obs = jnp.sum(
+            jnp.where(ref_children.r_c[..., None] == regs, row_c, 0.0), axis=-1
+        ) + jnp.sum(
+            jnp.where(ref_children.r_k[..., None] == regs, row_k, 0.0), axis=-1
+        )
+        for f, g in zip(children, ref_children):
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(g))
+        np.testing.assert_array_equal(
+            np.asarray(trans_lp), np.asarray(ref_trans), err_msg=f"R={R} md={md}"
+        )
+        np.testing.assert_array_equal(np.asarray(obs_lp), np.asarray(ref_obs))

@@ -127,8 +127,8 @@ def main():
     if want("no_resample"):
         orig_opt = res_mod.optimal_finite_state_resampling
 
-        def fake_resampling(key, log_norm, m):
-            out = orig_opt(key, log_norm, m)
+        def fake_resampling(key, log_norm, m, **kw):
+            out = orig_opt(key, log_norm, m, **kw)
             idx = jnp.arange(m, dtype=jnp.int32)
             return out._replace(
                 parent_indices=idx,
@@ -138,7 +138,7 @@ def main():
             )
 
         # Patch at the filter module's import site.
-        filter_mod.optimal_finite_state_resampling = lambda k, l, m: fake_resampling(k, l, m)
+        filter_mod.optimal_finite_state_resampling = fake_resampling
         try:
             timeit("no_resample", jit_filter(), keys, E_c, E_k)
         finally:
