@@ -247,6 +247,12 @@ def run_two_group(
     stages (AGGREGATE_RESULTS, GET_DMPS) are untouched: the meshed INFER
     writes the same per-(batch, seed) file set.
     """
+    if stream_batched and not streaming_blocks:
+        raise ValueError(
+            "stream_batched requires streaming_blocks "
+            "(--run_stream_batched only applies to the streamed INFER path; "
+            "set --run_streaming_blocks)"
+        )
     out = Path(output_dir)
     R = len(mu)
     n_backward_total = num_resampled_particles * (2 * R + R * R)

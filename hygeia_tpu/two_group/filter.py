@@ -391,8 +391,13 @@ def _one_step(
     M,
     optimal_resampling,
     multinomial_resampling,
+    with_parents=False,
 ):
     """One filter step; static shapes throughout.
+
+    with_parents=True additionally returns the (M,) resampled parent indices
+    (the marginal filter's structured psi update keys its backward-kernel
+    masks on the ancestors; two_group/marginal.py).
 
     Where the reference gathers only the finite-weight prefix
     (num_prev_particles slicing, :194-199), we keep the full N-buffer: dead
@@ -474,4 +479,6 @@ def _one_step(
     # einsum-transpose + reshape (proposal_mappings :204, filter :228-229).
     new_lw = lw.reshape(-1)
     new_particles = State(*(f.reshape(-1) for f in children))
+    if with_parents:
+        return new_lw, new_particles, parents
     return new_lw, new_particles

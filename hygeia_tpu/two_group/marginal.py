@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
@@ -53,6 +54,187 @@ def _test_functions(state: State, n_regimes):
     return jnp.concatenate([split, ctrl, case], axis=0)
 
 
+def _structured_psi_update(params: TwoGroupParams, prev: State, lw_prev, anc: State, psi):
+    """psi @ B_norm^T without materialising the (N, N) backward kernel.
+
+    The generic path evaluates the ~50-op transition branch tree on the full
+    (N_new, N_prev) = 5.76M-entry grid every site — 112 of 198 us/step, the
+    marginal filter's dominant cost (PERF.md marginal cost model). But the
+    new particle set has (I, M) child structure (proposal.expand_states), so
+    every child ROW of B factorises into per-prev-j scalars x small equality
+    masks keyed on the child's ANCESTOR fields x (at most) one rank-R regime
+    factor:
+
+      cont (slot 0)       predecessors must match the ancestor's control pair
+                          exactly (continuation support); merged children
+                          need ONLY the control match (branch a constrains
+                          the next state, not the predecessor), unmerged
+                          children add the case match. One (M, N) column set.
+      ctrl-CP (R-1)       control side marginalises over ALL prev (rho_c_j *
+                          P[r_c_j, r']); case side pins (d_k, r_k) to the
+                          ancestor. The in_c exclusion (r' == r_k_j) can
+                          never bind under the case mask because the slot
+                          regime enumerates {0..R-1}\\{r_k_anc}. Rank-R via
+                          the r_c one-hot: (M*R, N) columns, the P factor
+                          applied after the matmul.
+      case-CP (R-1)       control continuation mask + a case factor that
+                          depends on prev only through (m_j, rho_k_j, r_k_j):
+                          merged prev -> forced-split 1/(R-1) (in_b, since
+                          nxt.d_c >= 2); unmerged prev -> rho_k_j *
+                          1[q != r_k_j]/(R-2) (the in_c collision cannot
+                          fire: it needs r_k_j == r_c_j, impossible for live
+                          unmerged states). 1[q != r_k_j] = full r_k-one-hot
+                          sum minus the q column: (M + M*R, N) columns.
+      merge (slot 2R-1)   control match + chain-to-merged: (M, N) columns
+                          (zeroed for merged ancestors, whose merge children
+                          are dead — proposal.py merge_dur=0).
+      indep (R*R)         children are STATIC states shared by all ancestors:
+                          build the (R*R, N) rows densely (86k entries of
+                          cheap arithmetic) and replicate the result over M.
+
+    One (S*F + 1, N) x (N, C~=786) matmul (the +1 ones-row produces the row
+    denominators) replaces the 5.76M-entry tree + the (S*F, N) x (N, N)
+    einsum. Rows whose denominator is 0 (dead children) return psi = 0,
+    matching the generic path's non-finite-logsumexp guard. Equivalence with
+    the einsum-over-_backward_logits path on live children is covered by
+    tests/test_marginal_filter.py::test_structured_psi_update_matches_generic.
+
+    Reference scope: same quantity as smoothing_functions.py:27-59's
+    backward kernel applied to the psi recursion (:85); the structure is a
+    TPU redesign with no reference counterpart.
+    """
+    from hygeia_tpu.two_group.backward import _structured_rho
+
+    R = params.n_regimes
+    N = prev.m.shape[0]
+    M = anc.m.shape[0]
+    S, F = psi.shape[0], psi.shape[1]
+    f32 = psi.dtype
+    hi = jax.lax.Precision.HIGHEST
+
+    w = jnp.where(jnp.isfinite(lw_prev), jnp.exp(lw_prev), 0.0).astype(f32)
+    rho_c, rho_k = _structured_rho(params, prev)
+    rho_c, rho_k = rho_c.astype(f32), rho_k.astype(f32)
+    one_m_rc = 1.0 - rho_c
+    gate = jnp.minimum(prev.d_k, prev.d_c) >= params.min_duration
+    pm = jnp.exp(params.log_p_merged).astype(f32)
+    m0 = (prev.m == 0).astype(f32)
+    m1 = (prev.m == 1).astype(f32)
+    to0 = jnp.where(prev.m == 0, pm[0, 0], pm[1, 0])
+    to1 = jnp.where(prev.m == 0, pm[0, 1], pm[1, 1])
+    chain0 = jnp.where(gate, to0, m0)  # P(m -> 0 | prev), incl. the gate
+    chain1 = jnp.where(gate, to1, m1)
+    regs = jnp.arange(R)
+    oh_rc = (prev.r_c[:, None] == regs).astype(f32)  # (N, R)
+    oh_rk = (prev.r_k[:, None] == regs).astype(f32)
+    P = jnp.where(
+        jnp.isfinite(params.log_p_control), jnp.exp(params.log_p_control), 0.0
+    ).astype(f32)
+    Prow = jax.lax.dot(oh_rc, P, precision=hi)  # (N, R): P[r_c_j, :]
+
+    maskC = (
+        (prev.d_c[None, :] == anc.d_c[:, None])
+        & (prev.r_c[None, :] == anc.r_c[:, None])
+    ).astype(f32)  # (M, N)
+    maskK = (
+        (prev.d_k[None, :] == anc.d_k[:, None])
+        & (prev.r_k[None, :] == anc.r_k[:, None])
+    ).astype(f32)
+
+    # --- column operands (C, N) ---------------------------------------------
+    anc_merged = (anc.m == 1)[:, None]
+    col_cont = (w * one_m_rc)[None, :] * maskC * jnp.where(
+        anc_merged,
+        chain1[None, :],
+        (chain0 * (1.0 - rho_k) * m0)[None, :] * maskK,
+    )
+    col_merge = (w * chain1 * one_m_rc)[None, :] * maskC * (anc.m == 0)[:, None]
+    cC = w * chain0 * rho_c * (1.0 - rho_k)
+    colH1 = (cC[None, None, :] * maskK[:, None, :]) * oh_rc.T[None, :, :]  # (M,R,N)
+    # R - 2 guards R == 2 (the branch's indicator is then identically 0 and
+    # 0 * finite == 0, where 0 * inf would be NaN).
+    Rm2 = float(max(R - 2, 1))
+    a1 = w * chain0 * one_m_rc * m1 / float(R - 1)
+    colT1 = a1[None, :] * maskC
+    a2 = w * chain0 * one_m_rc * rho_k * m0 / Rm2
+    colH2 = (a2[None, None, :] * maskC[:, None, :]) * oh_rk.T[None, :, :]  # (M,R,N)
+
+    kk = np.arange(R * R)
+    i_idx, q_idx = kk // R, kk % R
+    Prow_i = Prow.T[i_idx]  # (R*R, N) static gather over a host index
+    eq_rk_i = oh_rk.T[i_idx]  # (R*R, N): 1[r_k_j == i]
+    neq_rk_q = 1.0 - oh_rk.T[q_idx]
+    n_opts = jnp.where(eq_rk_i == 1.0, float(R - 1), Rm2)
+    casefac = jnp.where(
+        (m0[None, :] == 1.0) & (eq_rk_i == 1.0),
+        1.0 / float(R - 1),
+        rho_k[None, :] * neq_rk_q / n_opts,
+    )
+    col_ind = (
+        (w * rho_c)[None, :]
+        * Prow_i
+        * jnp.where(
+            (i_idx == q_idx)[:, None], chain1[None, :], chain0[None, :] * casefac
+        )
+    )  # (R*R, N)
+
+    G = jnp.concatenate(
+        [
+            col_cont,  # M
+            colH1.reshape(M * R, N),  # M*R
+            colT1,  # M
+            colH2.reshape(M * R, N),  # M*R
+            col_merge,  # M
+            col_ind,  # R*R
+        ],
+        axis=0,
+    )
+    SFp = S * F + 1
+    psi_aug = jnp.concatenate(
+        [psi.reshape(S * F, N), jnp.ones((1, N), f32)], axis=0
+    )
+    Y = jax.lax.dot(psi_aug, G.T)  # (SFp, C); default precision like the
+    # generic path's einsum
+
+    off = 0
+    y_cont = Y[:, off : off + M]; off += M
+    H1 = Y[:, off : off + M * R].reshape(SFp, M, R); off += M * R
+    yT1 = Y[:, off : off + M]; off += M
+    H2 = Y[:, off : off + M * R].reshape(SFp, M, R); off += M * R
+    y_merge = Y[:, off : off + M]; off += M
+    y_ind = Y[:, off : off + R * R]
+
+    # ctrl-CP: apply the P[., r'(s, m)] factor post-matmul (one-hot, exact).
+    sA = jnp.arange(R - 1, dtype=jnp.int32)[:, None]
+    ctrl_regime = jnp.where(sA < anc.r_k[None, :], sA, sA + 1)  # (R-1, M)
+    oh_ctrl = (ctrl_regime[..., None] == regs).astype(f32)  # (R-1, M, R)
+    P_sel = jnp.einsum("smr,xr->smx", oh_ctrl, P)  # P[x, r'(s,m)]
+    y_ctrl = jnp.einsum("zmx,smx->zsm", H1, P_sel)
+
+    # case-CP: T1 (q-independent) + sum_y H2 - H2 at y = q(s, m).
+    jB = jnp.arange(R - 1, dtype=jnp.int32)[:, None]
+    case_regime = jnp.where(jB < anc.r_c[None, :], jB, jB + 1)  # (R-1, M)
+    oh_case = (case_regime[..., None] == regs).astype(f32)
+    H2_sel = jnp.einsum("zmy,smy->zsm", H2, oh_case)
+    y_case = (yT1 + H2.sum(-1))[:, None, :] - H2_sel
+
+    num = jnp.concatenate(
+        [
+            y_cont[:, None, :],
+            y_ctrl,
+            y_case,
+            y_merge[:, None, :],
+            jnp.broadcast_to(y_ind[:, :, None], (SFp, R * R, M)),
+        ],
+        axis=1,
+    ).reshape(SFp, N)  # child flattening n = i*M + m
+    denom = num[-1]
+    psi_new = jnp.where(
+        denom[None, :] > 0.0, num[:-1] / jnp.where(denom > 0.0, denom, 1.0), 0.0
+    )
+    return psi_new.reshape(S, F, N)
+
+
 def run_marginal_filter(
     key,
     params: TwoGroupParams,
@@ -63,6 +245,7 @@ def run_marginal_filter(
     epsilon=0.01,
     smoothing_window=64,
     weight_dtype=jnp.float32,
+    structured=True,
 ):
     R = params.n_regimes
     M = num_resampled_ancestors
@@ -88,28 +271,38 @@ def run_marginal_filter(
     def step(carry, inputs):
         lw, prev_state, psi, psi_time, psi_valid, out, out_valid, spill = carry
         t, k = inputs
-        new_lw, new_state = _one_step(
+        new_lw, new_state, parents = _one_step(
             k, params, emission_control, emission_case, t, lw,
-            prev_state, M, True, False,
+            prev_state, M, True, False, with_parents=True,
         )
         shift = logsumexp(new_lw)
         new_lw = new_lw - shift
-        w_self = jnp.where(jnp.isfinite(new_lw), jnp.exp(new_lw), 0.0)
-
-        # Backward kernels over the full particle sets (N_new x N_prev) via
-        # the backward-specialised kernel (prev/next-only factors off the
-        # joint grid — see backward._backward_logits; at N x N this tree is
-        # the marginal filter's dominant per-step cost).
-        logB = _backward_logits(
-            params, prev_state, new_state, lw, history_layout=True
-        )
-        logBZ = logsumexp(logB, axis=1, keepdims=True)
-        B = jnp.where(jnp.isfinite(logBZ), jnp.exp(logB - logBZ), 0.0).astype(
+        # Cast to the psi/out dtype (f32): with f64 weights the means would
+        # otherwise promote and the out-buffer scatter would downcast.
+        w_self = jnp.where(jnp.isfinite(new_lw), jnp.exp(new_lw), 0.0).astype(
             jnp.float32
         )
 
-        # psi recursion: (S, F, N_prev) x (N_new, N_prev)^T -> (S, F, N_new).
-        psi_new = jnp.einsum("sfj,nj->sfn", psi, B)
+        if structured:
+            # Structured psi update: the (I, M) child layout collapses the
+            # (N, N) backward-kernel grid to masked low-rank column
+            # operands — see _structured_psi_update (the marginal filter's
+            # former dominant per-step cost, PERF.md marginal cost model).
+            anc = State(*(f[parents] for f in prev_state))
+            psi_new = _structured_psi_update(params, prev_state, lw, anc, psi)
+        else:
+            # Generic path (kept for A/B measurement — tools/bisect_marginal):
+            # backward kernels over the full (N_new x N_prev) grid via the
+            # backward-specialised kernel (backward._backward_logits).
+            logB = _backward_logits(
+                params, prev_state, new_state, lw, history_layout=True
+            )
+            logBZ = logsumexp(logB, axis=1, keepdims=True)
+            B = jnp.where(
+                jnp.isfinite(logBZ), jnp.exp(logB - logBZ), 0.0
+            ).astype(jnp.float32)
+            # psi recursion: (S, F, N_prev) x (N_new, N_prev)^T.
+            psi_new = jnp.einsum("sfj,nj->sfn", psi, B)
         psi_new = jnp.where(psi_valid[:, None, None], psi_new, 0.0)
 
         # Ring-buffer insert for time t (force-finalise oldest on overflow).

@@ -543,6 +543,15 @@ def infer_chromosome_streamed(
 
             for c0 in range(0, len(units), units_per_call):
                 chunk = units[c0 : c0 + units_per_call]
+                # Pad a short final chunk back to the full vmap width by
+                # repeating its last unit (outputs dropped below): every
+                # distinct width S re-traces AND re-queries the remote
+                # compile service — 5-40 min when congested (CLAUDE.md
+                # rule 6/6b) — which costs far more than the wasted lanes.
+                n_pad = 0
+                if len(chunk) < units_per_call and c0 > 0:
+                    n_pad = units_per_call - len(chunk)
+                    chunk = chunk + [chunk[-1]] * n_pad
                 keys = jnp.stack([jax.random.PRNGKey(s) for _, s in chunk])
                 E_c_u = jnp.stack([emis[b][0] for b, _ in chunk])
                 E_k_u = jnp.stack([emis[b][1] for b, _ in chunk])
@@ -554,6 +563,8 @@ def infer_chromosome_streamed(
                     weight_dtype=weight_dtype,
                 )
                 t_chunk = time.time() - t0
+                if n_pad:
+                    chunk = chunk[: len(chunk) - n_pad]
                 split_v, regime_v = _traj_functionals_np(traj_np, R)
                 for i, (b, s) in enumerate(chunk):
                     d = int(degen_v[i])

@@ -63,6 +63,34 @@ from hygeia_tpu.two_group.backward import backward_simulation_conditioned
 _PROGRAMS = {}
 
 
+def _pack_traj(traj):
+    """Pack (W, B, 5) int32 trajectories to (W, B, 2) uint8 for the D2H pull.
+
+    Trajectory D2H rides a ~21 MB/s tunnel that does NOT overlap compute, so
+    the transfer is packed to 2 B/element. The duration fields are NOT
+    transferred at all — backward simulation only draws transition-compatible
+    pairs (the conditioned variant preserves this across block joins), and
+    every compatible transition's durations follow one of three
+    reconstructible rules (model.transition_log_prob):
+      * d_next == 1                (changepoint; the reset bit)
+      * d_next == d_prev + 1       (continuation)
+      * d_k == d_c while m == 1    (merged branch a requires it — including
+        merges FROM split states with d_k_prev != d_c_prev, where d_k resets
+        to d_c_prev + 1, not to 1)
+    so the reset bits + the merged flag + the trajectory's first-site
+    durations reconstruct both int32 duration fields exactly on the host
+    (_fill_block; round-trip covered by
+    tests/test_streaming.py::test_pack_fill_roundtrip_*).
+      byte0 = r_c | (d_c==1)<<5 | m<<6      byte1 = r_k | (d_k==1)<<5
+    (r < 32 asserted by streamed_inference; field order is State's
+    (m, d_c, r_c, d_k, r_k).)
+    """
+    m = traj[..., 0]
+    b0 = (traj[..., 2] & 31) | jnp.where(traj[..., 1] == 1, 32, 0) | (m << 6)
+    b1 = (traj[..., 4] & 31) | jnp.where(traj[..., 3] == 1, 32, 0)
+    return jnp.stack([b0, b1], axis=-1).astype(jnp.uint8)
+
+
 def _programs(M, B, multinomial, weight_dtype, phantom_regime, params):
     from hygeia_tpu.two_group.model import TwoGroupParams
 
@@ -113,23 +141,7 @@ def _programs(M, B, multinomial, weight_dtype, phantom_regime, params):
 
         return jax.vmap(one)(ks, ec, ek, lw0, p0)
 
-    def _pack(traj):
-        # Trajectory D2H rides a ~21 MB/s tunnel that does NOT overlap
-        # compute, so the transfer is packed to 2 B/element. The duration
-        # fields are NOT transferred at all: every sampled transition
-        # satisfies d_next == 1 (changepoint) or d_next == d_prev + 1
-        # (continuation) — backward simulation only draws transition-
-        # compatible pairs, and the conditioned variant preserves this
-        # across block joins — so a 1-bit reset flag (d == 1) plus the
-        # trajectory's first-site durations reconstruct both int32 duration
-        # fields exactly on the host (_reconstruct_durations).
-        #   byte0 = r_c | (d_c==1)<<5 | m<<6      byte1 = r_k | (d_k==1)<<5
-        # (r < 32 asserted by streamed_inference; field order is State's
-        # (m, d_c, r_c, d_k, r_k).)
-        m = traj[..., 0]
-        b0 = (traj[..., 2] & 31) | jnp.where(traj[..., 1] == 1, 32, 0) | (m << 6)
-        b1 = (traj[..., 4] & 31) | jnp.where(traj[..., 3] == 1, 32, 0)
-        return jnp.stack([b0, b1], axis=-1).astype(jnp.uint8)
+    _pack = _pack_traj
 
     @jax.jit
     def rev_cold(arrs, ks, bks, ec, ek, term, use_term):
@@ -224,11 +236,17 @@ def streamed_inference(
     )
     arrs = tuple(params[2:])  # array leaves; statics ride in the program cfg
 
-    def _t(kind, fn):
+    def _t(kind, fn, block=True):
+        # block=False times only the dispatch enqueue (used for the reverse
+        # chain, which is deliberately left in flight — the drain loop's
+        # "pull" walls then include the wait for each block's compute, so
+        # reverse compute is read as sum(pull) - transfer time).
         if timings is None:
             return fn()
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn())
+        out = fn()
+        if block:
+            out = jax.block_until_ready(out)
         timings.setdefault(kind, []).append(time.perf_counter() - t0)
         return out
 
@@ -274,13 +292,22 @@ def streamed_inference(
         ks = block_key(keys, b)
         bks = jax.vmap(lambda k: jax.random.fold_in(k, 1))(ks)
         if b == 0:
-            chain[b] = pg["rev_cold"](
-                arrs, ks, bks, e_c[:, lo:hi], e_k[:, lo:hi], term, use_term
+            chain[b] = _t(
+                "rev_enqueue",
+                lambda: pg["rev_cold"](
+                    arrs, ks, bks, e_c[:, lo:hi], e_k[:, lo:hi], term, use_term
+                ),
+                block=False,
             )
         else:
             lw0, p0 = ckpts[b - 1]
-            chain[b] = pg["rev_warm"](
-                arrs, ks, bks, e_c[:, lo:hi], e_k[:, lo:hi], lw0, p0, term, use_term
+            chain[b] = _t(
+                "rev_enqueue",
+                lambda: pg["rev_warm"](
+                    arrs, ks, bks, e_c[:, lo:hi], e_k[:, lo:hi], lw0, p0,
+                    term, use_term,
+                ),
+                block=False,
             )
         # (S, B, 5) first-site states: the left neighbour's conditioning
         # terminal, consumed device-side — the chain never syncs on the host.
@@ -305,27 +332,45 @@ def _fill_block(out, pk, d0):
     """Decode one packed block into `out` (S, W, B, 5) int32, reconstructing
     the duration fields from the reset bits.
 
-    Valid trajectories satisfy d_t == 1 (reset bit) or d_t == d_{t-1} + 1
+    Control durations satisfy d_t == 1 (reset bit) or d_t == d_{t-1} + 1
     (transition support, model.py transition_log_prob) — including across
     block joins (conditioned backward) — so within a block
     d_t = t - last_reset_at_or_before(t) + 1, seeded with a virtual reset at
     position 1 - d0 (d0 = the block's first-site durations) that makes the
     formula exact before the first in-block reset.
+
+    Case durations have a THIRD rule: the merged branch (model.py branch a)
+    requires d_k == d_c whenever m == 1, and a merge from a split state with
+    d_k_prev != d_c_prev resets d_k to d_c_prev + 1 — which may SHRINK d_k,
+    so a max-accumulate over reset positions is wrong there. Every merged
+    site is instead an explicit "virtual reset at t - d_c + 1" (making
+    d_k == d_c exact on the merged run and seeding post-merge continuations,
+    which increment off the merged d_c per the in_b gate), and the last
+    explicit position is FORWARD-FILLED rather than max-accumulated.
     """
     S, W, B, _ = pk.shape
     t = np.arange(W, dtype=np.int32)[None, :, None]
     p0 = pk[..., 0]
     p1 = pk[..., 1]
-    out[..., 0] = (p0 >> 6) & 1
+    m = ((p0 >> 6) & 1).astype(bool)
+    out[..., 0] = m
     out[..., 2] = p0 & 31
     out[..., 4] = p1 & 31
-    for field, p, col in ((1, p0, 0), (3, p1, 1)):
-        pos = np.where(
-            ((p >> 5) & 1).astype(bool),
-            t,
-            (np.int32(1) - d0[:, None, :, col]),
-        )
-        np.maximum.accumulate(pos, axis=1, out=pos)
-        np.subtract(t, pos, out=pos)
-        pos += 1
-        out[..., field] = pos
+    # Control: reset-or-increment only; positions are monotone so
+    # max-accumulate is exact.
+    pos = np.where(
+        ((p0 >> 5) & 1).astype(bool), t, (np.int32(1) - d0[:, None, :, 0])
+    )
+    np.maximum.accumulate(pos, axis=1, out=pos)
+    d_c = (t - pos + 1).astype(np.int32)
+    out[..., 1] = d_c
+    # Case: explicit sites are d_k==1 resets (bit) and ALL merged sites
+    # (d_k := d_c there). Forward-fill the last explicit virtual-reset
+    # position; fall back to the block's first-site duration before any
+    # explicit site.
+    explicit = (((p1 >> 5) & 1).astype(bool)) | m
+    pos_val = np.where(m, t - d_c + 1, t)
+    last = np.maximum.accumulate(np.where(explicit, t, np.int32(-1)), axis=1)
+    filled = np.take_along_axis(pos_val, np.maximum(last, 0), axis=1)
+    pos_k = np.where(last >= 0, filled, np.int32(1) - d0[:, None, :, 1])
+    out[..., 3] = t - pos_k + 1

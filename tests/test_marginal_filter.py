@@ -72,3 +72,99 @@ def test_marginal_filter_default_epsilon_rows_consistent():
     np.testing.assert_allclose(f[:, 1 : 1 + R].sum(1), 1.0, atol=1e-6)
     np.testing.assert_allclose(f[:, 1 + R :].sum(1), 1.0, atol=1e-6)
     assert np.all((f[:, 0] >= -1e-9) & (f[:, 0] <= 1 + 1e-9))
+
+
+def test_structured_psi_update_matches_generic():
+    """The structured psi update (masked low-rank columns, no (N, N) grid)
+    must match the generic einsum over _backward_logits on every LIVE child
+    at every step of a realistic filter run (dead children are guarded to
+    psi = 0 in both paths but the generic path computes them off the real
+    density, so they are excluded)."""
+    from jax.scipy.special import logsumexp as lse
+
+    from hygeia_tpu.two_group.backward import _backward_logits
+    from hygeia_tpu.two_group.filter import _first_step, _one_step
+    from hygeia_tpu.two_group.marginal import _structured_psi_update
+    from hygeia_tpu.two_group.model import State
+    from hygeia_tpu.two_group.proposal import num_children
+
+    for R, M, seed in ((4, 7, 5), (6, 5, 9)):
+        params = default_params(R=R, min_duration=2, d_max=64)
+        T = 12
+        rng = np.random.default_rng(3 + R)
+        n = rng.poisson(25, size=(T, 2)).astype(np.float64)
+        y = np.minimum(rng.poisson(9, size=(T, 2)), n)
+        E_c = emission_log_prob_table(
+            y, n, params.alpha, params.beta, dtype=jnp.float64
+        )
+        E_k = emission_log_prob_table(
+            np.minimum(y + 3, n), n, params.alpha, params.beta, dtype=jnp.float64
+        )
+
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        N = M * num_children(R)
+        lw, st = _first_step(k0, params, E_c, E_k, N, jnp.float64)
+        lw = lw - lse(lw)
+        for t in range(1, T):
+            k = jax.random.fold_in(key, t)
+            new_lw, new_st, parents = _one_step(
+                k, params, E_c, E_k, t, lw, st, M, True, False,
+                with_parents=True,
+            )
+            new_lw_n = new_lw - lse(new_lw)
+            S_cap, F = 5, 1 + 2 * R
+            psi = jnp.asarray(
+                rng.uniform(size=(S_cap, F, N)), jnp.float32
+            )
+            anc = State(*(f[parents] for f in st))
+            got = _structured_psi_update(params, st, lw, anc, psi)
+            logB = _backward_logits(params, st, new_st, lw, history_layout=True)
+            logBZ = lse(logB, axis=1, keepdims=True)
+            B = jnp.where(
+                jnp.isfinite(logBZ), jnp.exp(logB - logBZ), 0.0
+            ).astype(jnp.float32)
+            want = jnp.einsum("sfj,nj->sfn", psi, B)
+            live = np.isfinite(np.asarray(new_lw))
+            assert live.any()
+            np.testing.assert_allclose(
+                np.asarray(got)[:, :, live],
+                np.asarray(want)[:, :, live],
+                rtol=2e-4,
+                atol=2e-5,
+                err_msg=f"R={R} t={t}",
+            )
+            lw, st = new_lw_n, new_st
+
+
+def test_marginal_filter_structured_matches_generic_run():
+    """Whole-run agreement: the structured and generic marginal filters use
+    identical keys/resampling, so their finalised functionals differ only by
+    f32 kernel arithmetic."""
+    T, R = 30, 3
+    params = default_params(R=R, min_duration=2, d_max=64)
+    rng = np.random.default_rng(12)
+    n = rng.poisson(25, size=(T, 1)).astype(np.float64)
+    y = np.minimum(rng.poisson(10, size=(T, 1)), n)
+    E_c = emission_log_prob_table(y, n, params.alpha, params.beta, dtype=jnp.float64)
+    E_k = emission_log_prob_table(
+        np.minimum(y + 2, n), n, params.alpha, params.beta, dtype=jnp.float64
+    )
+    kw = dict(
+        epsilon=0.01, smoothing_window=12, weight_dtype=jnp.float64,
+    )
+    a = run_marginal_filter(
+        jax.random.PRNGKey(2), params, E_c, E_k, 20, structured=True, **kw
+    )
+    b = run_marginal_filter(
+        jax.random.PRNGKey(2), params, E_c, E_k, 20, structured=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(
+        float(a.log_normalizing_constant),
+        float(b.log_normalizing_constant),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.functionals), np.asarray(b.functionals), atol=5e-4
+    )

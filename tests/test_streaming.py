@@ -236,3 +236,103 @@ def test_infer_chromosome_streamed_matches_per_batch(tmp_path):
                     batch,
                     name,
                 )
+
+
+def test_pack_fill_roundtrip_merge_resets_case_duration():
+    """Pack/unpack round trip over a hand-built VALID trajectory exercising
+    the merge duration rule: a merge from a split state with d_k != d_c
+    resets d_k to d_c_prev + 1 (model.py branch a only requires
+    nxt.d_k == nxt.d_c) — including a merge that SHRINKS d_k (the round-3
+    packing reconstructed it as d_k_prev + 1) and a post-merge unmerge with
+    control jump where the case CONTINUES off the merged duration."""
+    from hygeia_tpu.two_group.streaming import _pack_traj, _fill_block
+
+    #           m  d_c r_c d_k r_k
+    seq = [
+        (0, 4, 0, 6, 1),  # block starts mid-continuation (d0 = [4, 6])
+        (1, 5, 0, 5, 0),  # merge from unequal durations: d_k 6 -> 5 (SHRINK)
+        (1, 6, 0, 6, 0),  # merged continuation
+        (1, 1, 2, 1, 2),  # merged control changepoint (both reset bits)
+        (1, 2, 2, 2, 2),
+        (0, 1, 4, 3, 2),  # unmerge + control jump: case CONTINUES (d_k=3)
+        (0, 2, 4, 4, 2),
+        (0, 3, 4, 1, 5),  # case changepoint
+        (0, 4, 4, 2, 5),
+        (1, 5, 4, 5, 4),  # merge again: d_k 2 -> 5 (grow)
+        (1, 6, 4, 6, 4),
+    ]
+    traj = np.asarray(seq, np.int32)[None, :, None, :]  # (S=1, W, B=1, 5)
+
+    # Validity guard: every consecutive pair must have finite density so the
+    # fixture can't drift from the model.
+    params = default_params(R=6, min_duration=2, d_max=64)
+    for t in range(len(seq) - 1):
+        cur = State(*(jnp.asarray([v]) for v in seq[t]))
+        nxt = State(*(jnp.asarray([v]) for v in seq[t + 1]))
+        lp = np.asarray(transition_log_prob(params, cur, nxt))
+        assert np.isfinite(lp).all(), (t, seq[t], seq[t + 1], lp)
+
+    packed = np.asarray(_pack_traj(jnp.asarray(traj)))
+    for split in (0, 3, 5, 6):
+        out = np.empty_like(traj)
+        for lo, hi in ((0, split), (split, len(seq))):
+            if lo == hi:
+                continue
+            d0 = traj[:, lo][:, :, [1, 3]]  # (S, B, 2) first-site durations
+            _fill_block(out[:, lo:hi], packed[:, lo:hi], d0)
+        np.testing.assert_array_equal(out, traj, err_msg=f"split={split}")
+
+
+def test_pack_fill_roundtrip_monolithic_backward():
+    """Round trip real monolithic backward-simulation trajectories (full
+    int32 states, independent of the streamed path) through the streamed
+    pack/unpack — exact equality, with the fixture REQUIRED to contain a
+    merge from an unequal-duration split state so the regression stays
+    armed."""
+    from hygeia_tpu.two_group.filter import run_filter
+    from hygeia_tpu.two_group.backward import backward_simulation
+    from hygeia_tpu.two_group.model import make_params
+    from hygeia_tpu.two_group.streaming import _pack_traj, _fill_block
+
+    R, T, M, B = 3, 160, 12, 24
+    rng = np.random.default_rng(7)
+    logp = np.where(np.eye(R, dtype=bool), -np.inf, rng.normal(size=(R, R)))
+    with np.errstate(invalid="ignore"):
+        logp = logp - np.log(
+            np.nansum(np.where(np.isfinite(logp), np.exp(logp), 0.0), axis=1, keepdims=True)
+        )
+    params = make_params(
+        mu=np.linspace(0.1, 0.9, R), sigma=np.full(R, 0.08),
+        p_softmax_control=logp, omega_logit_control=rng.normal(size=R),
+        omega_case=0.8, kappa_control=np.full(R, 2.0),
+        kappa_case=np.full(R, 2.0),
+        merge_log_prob=np.log(0.45), split_prob=0.35,  # churny merge/split
+        minimum_duration=2, d_max=256, dtype=jnp.float64,
+    )
+    n = rng.poisson(20, size=(T, 1)).astype(np.float64)
+    y = np.minimum(rng.poisson(8, size=(T, 1)), n)
+    E_c = emission_log_prob_table(y, n, params.alpha, params.beta, dtype=jnp.float64)
+    E_k = emission_log_prob_table(
+        np.minimum(y + 4, n), n, params.alpha, params.beta, dtype=jnp.float64
+    )
+    res = run_filter(
+        jax.random.PRNGKey(2), params, E_c, E_k, M, weight_dtype=jnp.float64
+    )
+    traj = np.asarray(
+        backward_simulation(jax.random.PRNGKey(9), params, res.log_weights,
+                            res.particles, B)
+    )  # (T, B, 5)
+    m, d_c, d_k = traj[..., 0], traj[..., 1], traj[..., 3]
+    merge_entry = (m[1:] == 1) & (m[:-1] == 0)
+    unequal = merge_entry & (d_k[:-1] != d_c[:-1])
+    assert unequal.any(), "fixture must exercise merges from unequal durations"
+
+    traj_s = traj[None]  # (S=1, T, B, 5)
+    packed = np.asarray(_pack_traj(jnp.asarray(traj_s)))
+    for W in (T, 64, 13):
+        out = np.empty_like(traj_s)
+        for lo in range(0, T, W):
+            hi = min(lo + W, T)
+            d0 = traj_s[:, lo][:, :, [1, 3]]
+            _fill_block(out[:, lo:hi], packed[:, lo:hi], d0)
+        np.testing.assert_array_equal(out, traj_s, err_msg=f"W={W}")

@@ -85,7 +85,13 @@ def main():
                     "warm_s": round(walls[1], 1),
                     "warm_sites_per_sec": round(S * T / walls[1], 1),
                     "fwd_s": round(sum(timings.get("fwd", [])), 1),
-                    "rev_s": round(sum(timings.get("rev", [])), 1),
+                    # Reverse dispatches ride an async chain: rev_enqueue_s
+                    # is dispatch cost only; each "pull" wall includes the
+                    # wait for that block's reverse compute, so reverse
+                    # compute + transfer together = pull_s.
+                    "rev_enqueue_s": round(
+                        sum(timings.get("rev_enqueue", [])), 1
+                    ),
                     "pull_s": round(sum(timings.get("pull", [])), 1),
                     "host_s": round(sum(timings.get("host", [])), 1),
                     "degen": int(np.sum(degen)),
