@@ -213,6 +213,12 @@ def build_parser():
                     "streamed dispatches (cross-segment residency; outputs "
                     "bit-identical to the per-batch path)")
     sp.add_argument("--no_resume", action="store_true")
+    sp.add_argument("--bucket_dir", default=None,
+                    help="mirror the output tree to an fsspec URL (s3://, "
+                    "gs://, file://, or a plain path) after every completed "
+                    "stage and restore it before a resumed run — the "
+                    "Nextflow -bucket-dir work-dir staging analog "
+                    "(run.sh:6, aws.config)")
     sp.add_argument("--stub_run", action="store_true",
                     help="wire the DAG with empty outputs (Nextflow -stub-run analog)")
     sp.add_argument("--mesh", default=None, metavar="GxS",
@@ -443,6 +449,7 @@ def main(argv=None):
                 resume=not args.no_resume,
                 stub_run=args.stub_run,
                 max_retries=args.max_retries,
+                bucket_dir=args.bucket_dir,
             )
             print(f"pipeline complete: {args.output_dir}")
             return 0
@@ -475,6 +482,7 @@ def main(argv=None):
             boundary=args.boundary,
             streaming_blocks=args.run_streaming_blocks,
             stream_batched=args.run_stream_batched,
+            bucket_dir=args.bucket_dir,
         )
         print(f"pipeline complete: {args.output_dir}")
 

@@ -180,6 +180,30 @@ def _attempt(
     return False
 
 
+# (WorkdirMirror, output root) of the run in progress, or None. Set by the
+# pipeline entry points when `bucket_dir` is given; _finish mirrors the tree
+# after every completed stage so `-bucket-dir`-style resume works across
+# machines (run.sh:6, aws.config:1-12). Module-level (not threaded through
+# the ~20 _stage/_finish call sites) because one process orchestrates one
+# run at a time; each entry point resets it.
+_ACTIVE_MIRROR = None
+
+
+def _set_mirror(bucket_dir, out, resume, trace=None):
+    global _ACTIVE_MIRROR
+    if not bucket_dir:
+        _ACTIVE_MIRROR = None
+        return
+    from hygeia_tpu.utils.staging import WorkdirMirror
+
+    mirror = WorkdirMirror(bucket_dir)
+    if resume:
+        fetched = mirror.restore(out)
+        if fetched and trace is not None:
+            trace.record("BUCKET_RESTORE", "-", 0.0, status=f"{fetched} files")
+    _ACTIVE_MIRROR = (mirror, Path(out))
+
+
 def _marker(path: Path) -> Path:
     return path / ".done"
 
@@ -194,6 +218,13 @@ def _stage(path: Path, resume: bool):
 
 def _finish(path: Path, meta=None):
     _marker(path).write_text(json.dumps(meta or {"t": time.time()}))
+    if _ACTIVE_MIRROR is not None:
+        mirror, root = _ACTIVE_MIRROR
+        try:
+            Path(path).resolve().relative_to(root.resolve())
+        except ValueError:
+            return  # marker outside the mirrored run (stale global)
+        mirror.sync_up(root)
 
 
 def run_two_group(
@@ -228,6 +259,7 @@ def run_two_group(
     boundary="halo",
     streaming_blocks=None,
     stream_batched=False,
+    bucket_dir=None,
 ):
     """Full two-group pipeline for a list of chromosomes.
 
@@ -257,6 +289,7 @@ def run_two_group(
     R = len(mu)
     n_backward_total = num_resampled_particles * (2 * R + R * R)
     trace = StageTrace(out)
+    _set_mirror(bucket_dir, out, resume, trace)
     # Multi-host entry (the AWS-Batch-scale analog): no-op single-host,
     # connects jax.distributed when coordinator env hints are set.
     if not stub_run:
@@ -522,6 +555,8 @@ def run_two_group(
             )
 
     trace.flush()
+    if _ACTIVE_MIRROR is not None:
+        _ACTIVE_MIRROR[0].sync_up(out)  # pick up trace/report artifacts
     return out
 
 
@@ -672,6 +707,7 @@ def run_single_group(
     stub_run=False,
     max_retries=5,
     group="case",
+    bucket_dir=None,
 ):
     """Single-group path (main.nf:20-30): per (sample, chrom) —
     SINGLE_GRP_PREPROCESS (modules/single_group/1_preprocess.nf, the sample's
@@ -687,6 +723,7 @@ def run_single_group(
     """
     out = Path(output_dir)
     trace = StageTrace(out)
+    _set_mirror(bucket_dir, out, resume, trace)
     if not stub_run:
         from hygeia_tpu.parallel.launcher import initialize_distributed
 

@@ -54,8 +54,74 @@ def _test_functions(state: State, n_regimes):
     return jnp.concatenate([split, ctrl, case], axis=0)
 
 
-def _structured_psi_update(params: TwoGroupParams, prev: State, lw_prev, anc: State, psi):
-    """psi @ B_norm^T without materialising the (N, N) backward kernel.
+def _compact_rep(f, R, M):
+    """Full (N = I*M) per-particle array -> the C = 2R*M + R*R compact
+    column layout: the first 2R*M columns map identity (cont / ctrl-CP /
+    case-CP / merge slots, one per (slot, ancestor)), the R*R independent
+    proposal classes take their m = 0 representative — exact for any
+    STATE-DERIVED quantity because every class member carries the same
+    static state (proposal.expand_states: indep children are ancestor-
+    independent)."""
+    C0 = 2 * R * M
+    return jnp.concatenate([f[:C0], f[C0:].reshape(R * R, M)[:, 0]])
+
+
+def _compact_sum(f, R, M):
+    """Weight-like quantities sum over each indep class (the backward kernel
+    marginalises w_j over state-equal predecessors)."""
+    C0 = 2 * R * M
+    return jnp.concatenate([f[:C0], f[C0:].reshape(R * R, M).sum(-1)])
+
+
+def num_compact_columns(R, M):
+    return 2 * R * M + R * R
+
+
+def _structured_psi_update(
+    params: TwoGroupParams, prev: State, lw_prev, anc: State, psi,
+    matmul_dtype=None,
+):
+    """psi @ B_norm^T over the FULL (N,) column layout.
+
+    Thin wrapper over the compact core: compacts psi by class-weighted
+    average (exact — within an indep class the kernel column is
+    w_j * h(state), so sum_j psi_j G_j = h * sum_j psi_j w_j), runs the
+    compact update, and re-expands. The marginal filter itself carries psi
+    compactly and calls the core directly; this wrapper exists for the
+    equivalence tests against the generic (N, N) einsum.
+    """
+    R = params.n_regimes
+    M = anc.m.shape[0]
+    C0 = 2 * R * M
+    f32 = psi.dtype
+    w = jnp.where(jnp.isfinite(lw_prev), jnp.exp(lw_prev), 0.0).astype(f32)
+    wt = w[C0:].reshape(R * R, M)
+    wsum = wt.sum(-1)
+    tail = jnp.einsum(
+        "sfkm,km->sfk",
+        psi[..., C0:].reshape(psi.shape[:-1] + (R * R, M)),
+        wt,
+    )
+    tail = jnp.where(
+        wsum > 0.0, tail / jnp.where(wsum > 0.0, wsum, 1.0), 0.0
+    )
+    psi_c = jnp.concatenate([psi[..., :C0], tail], axis=-1)
+    out_c = _structured_psi_update_compact(
+        params, prev, w, anc, psi_c, matmul_dtype=matmul_dtype
+    )
+    head = out_c[..., :C0]
+    ind = jnp.broadcast_to(
+        out_c[..., C0:, None], out_c.shape[:-1] + (R * R, M)
+    ).reshape(out_c.shape[:-1] + (R * R * M,))
+    return jnp.concatenate([head, ind], axis=-1)
+
+
+def _structured_psi_update_compact(
+    params: TwoGroupParams, prev: State, w_full, anc: State, psi_c,
+    matmul_dtype=None,
+):
+    """psi_c @ B_norm^T without materialising the (N, N) backward kernel —
+    psi carried over the C = 2R*M + R*R COMPACT column layout.
 
     The generic path evaluates the ~50-op transition branch tree on the full
     (N_new, N_prev) = 5.76M-entry grid every site — 112 of 198 us/step, the
@@ -106,39 +172,45 @@ def _structured_psi_update(params: TwoGroupParams, prev: State, lw_prev, anc: St
     from hygeia_tpu.two_group.backward import _structured_rho
 
     R = params.n_regimes
-    N = prev.m.shape[0]
     M = anc.m.shape[0]
-    S, F = psi.shape[0], psi.shape[1]
-    f32 = psi.dtype
+    SF = psi_c.shape[0] * psi_c.shape[1]
+    f32 = psi_c.dtype
     hi = jax.lax.Precision.HIGHEST
 
-    w = jnp.where(jnp.isfinite(lw_prev), jnp.exp(lw_prev), 0.0).astype(f32)
-    rho_c, rho_k = _structured_rho(params, prev)
-    rho_c, rho_k = rho_c.astype(f32), rho_k.astype(f32)
+    # Per-prev-particle scalars. The hazard lookup needs the FULL (I, M)
+    # history layout (_structured_rho); rho and the weights are then
+    # compacted — weights SUM over each indep class (kernel marginalisation),
+    # state-derived scalars take the class representative.
+    rho_c_f, rho_k_f = _structured_rho(params, prev)
+    rho_c = _compact_rep(rho_c_f.astype(f32), R, M)
+    rho_k = _compact_rep(rho_k_f.astype(f32), R, M)
+    w = _compact_sum(w_full.astype(f32), R, M)
+    prevc = State(*(_compact_rep(f, R, M) for f in prev))
+    N = prevc.m.shape[0]  # compact column count C
     one_m_rc = 1.0 - rho_c
-    gate = jnp.minimum(prev.d_k, prev.d_c) >= params.min_duration
+    gate = jnp.minimum(prevc.d_k, prevc.d_c) >= params.min_duration
     pm = jnp.exp(params.log_p_merged).astype(f32)
-    m0 = (prev.m == 0).astype(f32)
-    m1 = (prev.m == 1).astype(f32)
-    to0 = jnp.where(prev.m == 0, pm[0, 0], pm[1, 0])
-    to1 = jnp.where(prev.m == 0, pm[0, 1], pm[1, 1])
+    m0 = (prevc.m == 0).astype(f32)
+    m1 = (prevc.m == 1).astype(f32)
+    to0 = jnp.where(prevc.m == 0, pm[0, 0], pm[1, 0])
+    to1 = jnp.where(prevc.m == 0, pm[0, 1], pm[1, 1])
     chain0 = jnp.where(gate, to0, m0)  # P(m -> 0 | prev), incl. the gate
     chain1 = jnp.where(gate, to1, m1)
     regs = jnp.arange(R)
-    oh_rc = (prev.r_c[:, None] == regs).astype(f32)  # (N, R)
-    oh_rk = (prev.r_k[:, None] == regs).astype(f32)
+    oh_rc = (prevc.r_c[:, None] == regs).astype(f32)  # (C, R)
+    oh_rk = (prevc.r_k[:, None] == regs).astype(f32)
     P = jnp.where(
         jnp.isfinite(params.log_p_control), jnp.exp(params.log_p_control), 0.0
     ).astype(f32)
     Prow = jax.lax.dot(oh_rc, P, precision=hi)  # (N, R): P[r_c_j, :]
 
     maskC = (
-        (prev.d_c[None, :] == anc.d_c[:, None])
-        & (prev.r_c[None, :] == anc.r_c[:, None])
-    ).astype(f32)  # (M, N)
+        (prevc.d_c[None, :] == anc.d_c[:, None])
+        & (prevc.r_c[None, :] == anc.r_c[:, None])
+    ).astype(f32)  # (M, C)
     maskK = (
-        (prev.d_k[None, :] == anc.d_k[:, None])
-        & (prev.r_k[None, :] == anc.r_k[:, None])
+        (prevc.d_k[None, :] == anc.d_k[:, None])
+        & (prevc.r_k[None, :] == anc.r_k[:, None])
     ).astype(f32)
 
     # --- column operands (C, N) ---------------------------------------------
@@ -189,12 +261,29 @@ def _structured_psi_update(params: TwoGroupParams, prev: State, lw_prev, anc: St
         ],
         axis=0,
     )
-    SFp = S * F + 1
+    SFp = SF + 1
     psi_aug = jnp.concatenate(
-        [psi.reshape(S * F, N), jnp.ones((1, N), f32)], axis=0
+        [psi_c.reshape(SF, N), jnp.ones((1, N), f32)], axis=0
     )
-    Y = jax.lax.dot(psi_aug, G.T)  # (SFp, C); default precision like the
-    # generic path's einsum
+    # Materialise G before the dot: without the barrier XLA fuses the whole
+    # column build into the dot's operand load and recomputes it per psi
+    # row-tile, making the matmul scale like S_cap * (operand build) instead
+    # of S_cap * MACs (tools/bisect_marginal window sweep).
+    G = jax.lax.optimization_barrier(G)
+    # matmul_dtype=bfloat16 rounds the OPERANDS one pass through the MXU
+    # with f32 accumulation. MEASURED on chip: no effect at these shapes
+    # (the window-scaling cost is psi-buffer HBM traffic, not MXU flops —
+    # identical walls with and without), so the default stays None (exact
+    # f32); the knob is kept for larger-window experiments.
+    if matmul_dtype is not None:
+        Y = jax.lax.dot(
+            psi_aug.astype(matmul_dtype),
+            G.T.astype(matmul_dtype),
+            preferred_element_type=f32,
+        )
+    else:
+        Y = jax.lax.dot(psi_aug, G.T)  # default precision like the generic
+        # path's einsum
 
     off = 0
     y_cont = Y[:, off : off + M]; off += M
@@ -220,19 +309,19 @@ def _structured_psi_update(params: TwoGroupParams, prev: State, lw_prev, anc: St
 
     num = jnp.concatenate(
         [
-            y_cont[:, None, :],
-            y_ctrl,
-            y_case,
-            y_merge[:, None, :],
-            jnp.broadcast_to(y_ind[:, :, None], (SFp, R * R, M)),
+            jnp.concatenate(
+                [y_cont[:, None, :], y_ctrl, y_case, y_merge[:, None, :]],
+                axis=1,
+            ).reshape(SFp, 2 * R * M),  # slot-major, matching n = i*M + m
+            y_ind,  # one column per indep class
         ],
         axis=1,
-    ).reshape(SFp, N)  # child flattening n = i*M + m
+    )  # (SFp, C)
     denom = num[-1]
     psi_new = jnp.where(
         denom[None, :] > 0.0, num[:-1] / jnp.where(denom > 0.0, denom, 1.0), 0.0
     )
-    return psi_new.reshape(S, F, N)
+    return psi_new.reshape(psi_c.shape)
 
 
 def run_marginal_filter(
@@ -246,6 +335,7 @@ def run_marginal_filter(
     smoothing_window=64,
     weight_dtype=jnp.float32,
     structured=True,
+    psi_matmul_dtype=None,
 ):
     R = params.n_regimes
     M = num_resampled_ancestors
@@ -261,8 +351,18 @@ def run_marginal_filter(
     lw0 = lw0 - shift0
     w_self0 = jnp.where(jnp.isfinite(lw0), jnp.exp(lw0), 0.0)
 
-    psi0 = jnp.zeros((S_cap, F, N), jnp.float32)
-    psi0 = psi0.at[0].set(_test_functions(st0, R))
+    # Structured mode carries psi over the COMPACT column layout (C =
+    # 2R*M + R*R instead of N = I*M = 2R*M + R*R*M): the R*R independent
+    # proposal children are ancestor-independent STATES shared by all M
+    # ancestors, so their psi columns are provably equal — storing one
+    # column per class shrinks the buffer (the step's HBM-traffic driver)
+    # ~3.8x at the production M = 50. Exact, not approximate; the first
+    # step's R*R live initial particles occupy full positions < 2R*M and
+    # ride the identity part of the mapping.
+    C = num_compact_columns(R, M) if structured else N
+    st0_cols = State(*(_compact_rep(f, R, M) for f in st0)) if structured else st0
+    psi0 = jnp.zeros((S_cap, F, C), jnp.float32)
+    psi0 = psi0.at[0].set(_test_functions(st0_cols, R))
     psi_time0 = jnp.full((S_cap,), T, jnp.int32).at[0].set(0)
     psi_valid0 = jnp.zeros((S_cap,), bool).at[0].set(True)
     out0 = jnp.zeros((T + 1, F), jnp.float32)
@@ -279,17 +379,42 @@ def run_marginal_filter(
         new_lw = new_lw - shift
         # Cast to the psi/out dtype (f32): with f64 weights the means would
         # otherwise promote and the out-buffer scatter would downcast.
+        # In compact mode the filtered-mean weights SUM over each indep
+        # class (psi is class-constant there, so the weighted mean is
+        # unchanged — exact).
         w_self = jnp.where(jnp.isfinite(new_lw), jnp.exp(new_lw), 0.0).astype(
             jnp.float32
         )
+        if structured:
+            w_self = _compact_sum(w_self, R, M)
+            new_cols = State(*(_compact_rep(f, R, M) for f in new_state))
+        else:
+            new_cols = new_state
 
+        # The psi buffer (S_cap, F, N) is the marginal step's HBM footprint
+        # (~8 MB/unit at window 64) — at f32 it cannot sit in VMEM, so every
+        # full-buffer pass costs an HBM round trip and the step is traffic-
+        # bound in the window size (measured: ~54 ms per window unit across
+        # the 4096-site bench before the pass-count reductions below).
+        # Passes are kept to: the update's matmul read, the carry write, and
+        # ONE fused read for the means/sum-of-squares reductions.
         if structured:
             # Structured psi update: the (I, M) child layout collapses the
             # (N, N) backward-kernel grid to masked low-rank column
             # operands — see _structured_psi_update (the marginal filter's
             # former dominant per-step cost, PERF.md marginal cost model).
+            # The update is row-linear in psi, so the validity mask is
+            # applied to the INPUT rows (fused into the matmul's operand
+            # load) instead of as an extra pass over the output.
             anc = State(*(f[parents] for f in prev_state))
-            psi_new = _structured_psi_update(params, prev_state, lw, anc, psi)
+            psi_in = jnp.where(psi_valid[:, None, None], psi, 0.0)
+            w_prev = jnp.where(jnp.isfinite(lw), jnp.exp(lw), 0.0).astype(
+                jnp.float32
+            )
+            psi_new = _structured_psi_update_compact(
+                params, prev_state, w_prev, anc, psi_in,
+                matmul_dtype=psi_matmul_dtype,
+            )
         else:
             # Generic path (kept for A/B measurement — tools/bisect_marginal):
             # backward kernels over the full (N_new x N_prev) grid via the
@@ -301,32 +426,48 @@ def run_marginal_filter(
             B = jnp.where(
                 jnp.isfinite(logBZ), jnp.exp(logB - logBZ), 0.0
             ).astype(jnp.float32)
-            # psi recursion: (S, F, N_prev) x (N_new, N_prev)^T.
-            psi_new = jnp.einsum("sfj,nj->sfn", psi, B)
-        psi_new = jnp.where(psi_valid[:, None, None], psi_new, 0.0)
+            # psi recursion: (S, F, N_prev) x (N_new, N_prev)^T — same
+            # operand-rounding treatment as the structured path so the A/B
+            # is fair.
+            psi_in = jnp.where(psi_valid[:, None, None], psi, 0.0)
+            if psi_matmul_dtype is not None:
+                psi_new = jnp.einsum(
+                    "sfj,nj->sfn",
+                    psi_in.astype(psi_matmul_dtype),
+                    B.astype(psi_matmul_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                psi_new = jnp.einsum("sfj,nj->sfn", psi_in, B)
 
         # Ring-buffer insert for time t (force-finalise oldest on overflow).
-        means_pre = jnp.einsum("sfn,n->sf", psi_new, w_self)
+        # Only the victim ROW's filtered mean is needed — a (F, N) einsum,
+        # not a full-buffer pass.
         has_free = jnp.any(~psi_valid)
         ins = jnp.where(
             has_free,
             jnp.argmax(~psi_valid),
             jnp.argmin(jnp.where(psi_valid, psi_time, T + 1)),
         )
+        means_ins = jnp.einsum("fn,n->f", psi_new[ins], w_self)
         spill = spill + jnp.where(has_free, 0, 1)
         out = jnp.where(
-            has_free, out, out.at[psi_time[ins]].set(means_pre[ins])
+            has_free, out, out.at[psi_time[ins]].set(means_ins)
         )
         out_valid = jnp.where(
             has_free, out_valid, out_valid.at[psi_time[ins]].set(True)
         )
-        psi_new = psi_new.at[ins].set(_test_functions(new_state, R))
+        psi_new = psi_new.at[ins].set(_test_functions(new_cols, R))
         psi_time = psi_time.at[ins].set(t)
         psi_valid = psi_valid.at[ins].set(True)
 
         # Finalisation: all F filtered variances below epsilon (or last step).
+        # var = E[x^2] - E[x]^2 lets XLA fuse both reductions into one read
+        # of the buffer; x in [0, 1] so the f32 cancellation error (~1e-7
+        # absolute) is far below any usable epsilon.
         means = jnp.einsum("sfn,n->sf", psi_new, w_self)
-        var = jnp.einsum("sfn,n->sf", (psi_new - means[:, :, None]) ** 2, w_self)
+        sumsq = jnp.einsum("sfn,n->sf", psi_new * psi_new, w_self)
+        var = sumsq - means * means
         fin = psi_valid & (jnp.all(var < epsilon, axis=1) | (t == T - 1))
         out = out.at[psi_time].set(jnp.where(fin[:, None], means, out[psi_time]))
         out_valid = out_valid.at[psi_time].set(

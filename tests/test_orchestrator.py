@@ -462,3 +462,58 @@ def test_meshed_infer_matches_sequential_format(tmp_path):
 
     trace = pd.read_csv(out_mesh / "trace.tsv", sep="\t")
     assert (trace.stage == "INFER[mesh]").any()
+
+
+def test_run_two_group_bucket_dir_staging(tmp_path):
+    """--bucket_dir mirrors the output tree to an fsspec URL after every
+    stage and restores it before a resumed run — the Nextflow -bucket-dir
+    work-dir staging analog (run.sh:6): wiping the local results tree and
+    re-running with --resume must restore and skip, not recompute."""
+    import shutil
+
+    rng = np.random.default_rng(3)
+    T, S = 100, 1
+    n = rng.poisson(25, size=(T, S)).astype(float)
+    y = np.minimum(rng.poisson(8, size=(T, S)), n)
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    hio.write_count_matrix(pre / "positions_cb.txt.gz", np.arange(1, T + 1) * 13)
+    hio.write_count_matrix(pre / "n_total_reads_control_cb.txt.gz", n)
+    hio.write_count_matrix(pre / "n_total_reads_case_cb.txt.gz", n)
+    hio.write_count_matrix(pre / "n_methylated_reads_control_cb.txt.gz", y)
+    hio.write_count_matrix(
+        pre / "n_methylated_reads_case_cb.txt.gz", np.minimum(y + 4, n)
+    )
+
+    out, bucket = tmp_path / "out", tmp_path / "bucket"
+    argv = [
+        "run", "--two_group",
+        "--output_dir", str(out),
+        "--chroms", "cb",
+        "--preprocessed_dir", str(pre),
+        "--batch_size", "100",
+        "--buffer_size", "10",
+        "--num_of_inference_seeds", "1",
+        "--num_resampled_particles", "6",
+        "--num_samples_backward", "8",
+        "--n_particles", "30",
+        "--bucket_dir", str(bucket),
+    ]
+    cli_main(argv)
+    # The mirror carries outputs AND resume markers.
+    assert (bucket / "6_GET_DMPS" / "cb" / "dmp_0.05.csv").exists()
+    assert (bucket / "6_GET_DMPS" / "cb" / ".done").exists()
+
+    # Fresh machine: no local tree at all; resume restores from the bucket
+    # and skips every stage.
+    shutil.rmtree(out)
+    t0 = time.time()
+    cli_main(argv)
+    resumed = time.time() - t0
+    assert (out / "6_GET_DMPS" / "cb" / "dmp_0.05.csv").exists()
+    assert resumed < 30.0, resumed
+    trace = (out / "trace.tsv").read_text()
+    assert "BUCKET_RESTORE" in trace
+    # Every real stage row in the resumed run is a skip.
+    rows = [r.split("\t") for r in trace.strip().splitlines()[1:]]
+    assert all(r[3] == "True" for r in rows if r[0] not in ("BUCKET_RESTORE",)), rows

@@ -97,12 +97,13 @@ def main():
             flush=True,
         )
 
-    def jit_marginal(window):
+    def jit_marginal(window, structured=True):
         @jax.jit
         def f(keys, E_c, E_k):
             def one(key, e_c, e_k):
                 r = marg_mod.run_marginal_filter(
-                    key, params, e_c, e_k, M, smoothing_window=window
+                    key, params, e_c, e_k, M, smoothing_window=window,
+                    structured=structured,
                 )
                 return r.log_normalizing_constant, r.spill_count
 
@@ -118,6 +119,11 @@ def main():
 
     if want("full"):
         timeit("full", jit_marginal(64), keys, E_c, E_k)
+
+    # Round-4 A/B: the generic (N, N)-grid psi update vs the structured
+    # default (marginal._structured_psi_update).
+    if want("generic"):
+        timeit("generic", jit_marginal(64, structured=False), keys, E_c, E_k)
 
     for w in (8, 16, 32):
         if want(f"window{w}"):

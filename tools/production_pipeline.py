@@ -1,0 +1,140 @@
+"""End-to-end on-chip production pipeline bench: `hygeia run` at
+chromosome scale (VERDICT round-3 item 2).
+
+Simulates a chr21-like two-group chromosome (default 400k CpG sites,
+2 samples/group), writes the preprocessed count files, then runs the FULL
+orchestrated pipeline in this process — single-group theta pass, streamed
+cross-segment-batched INFER, AGGREGATE, GET_DMPS — on whatever platform the
+process acquired (the TPU by default), and prints per-stage walls plus one
+end-to-end sites/s JSON line.
+
+Match: the reference pipeline end-to-end (/root/reference/main.nf:16-95);
+its INFER envelope alone is a 16 GB / 80-min-class CPU container per
+(chrom, batch, seed) task and the BASELINE.md north-star is >= 10x the
+measured 233 sites/s CPU loop.
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site python tools/production_pipeline.py
+Knobs: HYGEIA_PROD_T (default 400000), HYGEIA_PROD_SEEDS (2),
+       HYGEIA_PROD_BLOCKS (16384), HYGEIA_PROD_DIR (a fresh tmp dir),
+       HYGEIA_PROD_M (50), HYGEIA_PROD_B (25).
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    import jax.numpy as jnp
+    from hygeia_tpu.ops.distributions import logit
+    from hygeia_tpu.two_group.model import make_params
+    from hygeia_tpu.two_group.simulate import simulate
+    from hygeia_tpu.utils import io as hio
+    from hygeia_tpu.pipeline.orchestrator import run_two_group
+
+    T = int(os.environ.get("HYGEIA_PROD_T", 400_000))
+    n_seeds = int(os.environ.get("HYGEIA_PROD_SEEDS", 2))
+    blocks = int(os.environ.get("HYGEIA_PROD_BLOCKS", 16384))
+    M = int(os.environ.get("HYGEIA_PROD_M", 50))
+    B = int(os.environ.get("HYGEIA_PROD_B", 25))
+    root = os.environ.get(
+        "HYGEIA_PROD_DIR", f"/tmp/hygeia_prod_{os.getpid()}"
+    )
+    os.makedirs(root, exist_ok=True)
+    pre = os.path.join(root, "pre")
+    out = os.path.join(root, "out")
+    os.makedirs(pre, exist_ok=True)
+
+    R, S = 6, 2
+    MU = [0.95, 0.05, 0.80, 0.20, 0.50, 0.50]
+    SIGMA = [0.05, 0.05, 0.1, 0.1, 0.1, 0.2886751]
+    rng = np.random.default_rng(0)
+    Pd = rng.dirichlet(np.ones(R - 1), size=R)
+    P = np.zeros((R, R))
+    for r in range(R):
+        P[r, [c for c in range(R) if c != r]] = Pd[r]
+    with np.errstate(divide="ignore"):
+        log_p = np.log(P)
+    params = make_params(
+        mu=MU, sigma=SIGMA, p_softmax_control=log_p,
+        omega_logit_control=np.asarray(logit(jnp.full((R,), 0.9))),
+        omega_case=0.8, kappa_control=np.full(R, 2.0),
+        kappa_case=np.full(R, 2.0), merge_log_prob=np.log(0.1),
+        split_prob=0.01, minimum_duration=3, d_max=T + 2,
+    )
+
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(pre, f"positions_c21.txt.gz")):
+        n_c = rng.poisson(30, size=(T, S)).astype(np.float32)
+        n_k = rng.poisson(30, size=(T, S)).astype(np.float32)
+        sim = simulate(jax.random.PRNGKey(1), params, n_c, n_k)
+        hio.write_count_matrix(
+            os.path.join(pre, "positions_c21.txt.gz"),
+            np.arange(1, T + 1, dtype=np.int64) * 37,
+        )
+        hio.write_count_matrix(os.path.join(pre, "n_total_reads_control_c21.txt.gz"), n_c)
+        hio.write_count_matrix(os.path.join(pre, "n_total_reads_case_c21.txt.gz"), n_k)
+        hio.write_count_matrix(
+            os.path.join(pre, "n_methylated_reads_control_c21.txt.gz"),
+            np.asarray(sim.obs_control),
+        )
+        hio.write_count_matrix(
+            os.path.join(pre, "n_methylated_reads_case_c21.txt.gz"),
+            np.asarray(sim.obs_case),
+        )
+        del sim
+    sim_s = time.perf_counter() - t0
+    print(json.dumps({"stage": "simulate+write", "wall_s": round(sim_s, 1)}), flush=True)
+
+    t0 = time.perf_counter()
+    run_two_group(
+        output_dir=out,
+        chroms=["c21"],
+        preprocessed_dir=pre,
+        mu=MU,
+        sigma=SIGMA,
+        segment_size=100_000,
+        buffer_size=5_000,
+        inference_seeds=tuple(range(n_seeds)),
+        num_resampled_particles=M,
+        num_samples_backward=B,
+        n_particles_single_group=250,
+        streaming_blocks=blocks,
+        stream_batched=True,
+        resume=True,
+    )
+    pipe_s = time.perf_counter() - t0
+
+    # Per-stage walls from the run's own trace artifact.
+    stages = {}
+    with open(os.path.join(out, "trace.tsv")) as f:
+        next(f)
+        for line in f:
+            stage, chrom, wall, skipped, attempts, status = line.rstrip("\n").split("\t")
+            stages[stage] = stages.get(stage, 0.0) + float(wall)
+    print(json.dumps({"per_stage_wall_s": {k: round(v, 1) for k, v in stages.items()}}), flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_end_to_end",
+                "sites": T,
+                "seeds": n_seeds,
+                "wall_s": round(pipe_s, 1),
+                "sites_per_sec": round(T / pipe_s, 1),
+                "unit_sites_per_sec": round(T * n_seeds / pipe_s, 1),
+                "vs_cpu_233": round(T / pipe_s / 233.0, 1),
+                "dir": root,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
