@@ -9,8 +9,13 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
+
+# The NumPy reference-structure baseline is a measurement harness (minutes
+# of per-ancestor Python loops) — full-suite/nightly only.
+pytestmark = pytest.mark.slow
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 import reference_cpu_baseline as refb  # noqa: E402

@@ -2,6 +2,7 @@
 with exact inference on small problems."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -74,6 +75,7 @@ def test_marginal_filter_default_epsilon_rows_consistent():
     assert np.all((f[:, 0] >= -1e-9) & (f[:, 0] <= 1 + 1e-9))
 
 
+@pytest.mark.slow
 def test_structured_psi_update_matches_generic():
     """The structured psi update (masked low-rank columns, no (N, N) grid)
     must match the generic einsum over _backward_logits on every LIVE child

@@ -133,6 +133,7 @@ def _conditional_systematic_reference(u, u_strat, w, n, a):
     return parents, b
 
 
+@pytest.mark.slow
 def test_conditional_systematic_matches_reference_port():
     rng = np.random.default_rng(7)
     for trial in range(200):

@@ -5,6 +5,7 @@ import json
 import time
 
 import numpy as np
+import pytest
 import pandas as pd
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,7 @@ MU = [0.95, 0.05, 0.80, 0.20, 0.50, 0.50]
 SIGMA = [0.05, 0.05, 0.1, 0.1, 0.1, 0.2886751]
 
 
+@pytest.mark.slow
 def test_run_two_group_pipeline(tmp_path):
     # Simulated preprocessed inputs for one tiny 'chromosome'.
     rng = np.random.default_rng(7)
@@ -199,6 +201,7 @@ def _write_two_group_fixture(tmp_path, T=170, seed=13):
     return pre
 
 
+@pytest.mark.slow
 def test_infer_unit_failure_is_retried_then_ignored(tmp_path, monkeypatch):
     """errorStrategy retry/ignore (nextflow.config:23-27): an INFER unit that
     fails every attempt must not kill the chromosome — later batches still
@@ -366,6 +369,7 @@ def test_stub_run(tmp_path):
     assert "digraph" in (out / "dag.dot").read_text()
 
 
+@pytest.mark.slow
 def test_meshed_infer_matches_sequential_format(tmp_path):
     """VERDICT r2 #1: `hygeia run` with mesh_shape maps the INFER stage onto
     parallel/sharded.sharded_two_group_inference (batches -> "genome" axis,
@@ -464,6 +468,7 @@ def test_meshed_infer_matches_sequential_format(tmp_path):
     assert (trace.stage == "INFER[mesh]").any()
 
 
+@pytest.mark.slow
 def test_run_two_group_bucket_dir_staging(tmp_path):
     """--bucket_dir mirrors the output tree to an fsspec URL after every
     stage and restores it before a resumed run — the Nextflow -bucket-dir

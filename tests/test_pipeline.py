@@ -74,6 +74,7 @@ def pipeline_dirs(tmp_path_factory):
     return root, data_dir, sg_dir, np.asarray(sim.states)
 
 
+@pytest.mark.slow
 def test_full_pipeline(pipeline_dirs):
     root, data_dir, sg_dir, true_states = pipeline_dirs
     results = root / "results"

@@ -125,6 +125,7 @@ def _mode_recovery(results, true_ctrl, mask):
     return (mode == true_ctrl).mean(), (mode[mask] == true_ctrl[mask]).mean()
 
 
+@pytest.mark.slow
 def test_robust_mode_end_to_end(contaminated_dirs):
     root, data_dir, sg_dir, true_ctrl, mask = contaminated_dirs
     assert 10 <= mask.sum() <= 60

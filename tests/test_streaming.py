@@ -2,6 +2,7 @@
 enumeration, pathwise continuity across block joins, and runner integration."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,7 @@ from hygeia_tpu.two_group.streaming import streamed_inference
 from tests.test_two_group_filter import default_params, _exact_forward_backward
 
 
+@pytest.mark.slow
 def test_streamed_matches_exact_inference():
     """Streamed (2-block) smoothing marginals and logZ agree with exact
     forward-backward enumeration — same oracle the monolithic path passes
@@ -51,6 +53,7 @@ def test_streamed_matches_exact_inference():
     np.testing.assert_allclose(case_pf, case_exact, atol=0.05)
 
 
+@pytest.mark.slow
 def test_streamed_trajectories_are_pathwise_continuous():
     """Every consecutive sampled pair — INCLUDING across block joins — must
     have a finite transition density: the conditioned per-block backward is
@@ -77,6 +80,7 @@ def test_streamed_trajectories_are_pathwise_continuous():
             assert np.all(np.isfinite(lp)), (s, t, lp)
 
 
+@pytest.mark.slow
 def test_infer_segment_streaming_writes_same_files(tmp_path):
     """runner.infer_segment(streaming_blocks=W) produces the sequential
     path's exact file set with matching shapes, and statistically-consistent
@@ -128,6 +132,7 @@ def test_infer_segment_streaming_writes_same_files(tmp_path):
     assert float(np.abs(sp_m - sp_s).mean()) < 0.25
 
 
+@pytest.mark.slow
 def test_streamed_cross_segment_batching_matches_per_unit_runs():
     """3-D (S, T, R) emissions batch DIFFERENT segments into one streamed
     dispatch (cross-segment residency — PERF.md: residency is throughput).
@@ -167,6 +172,7 @@ def test_streamed_cross_segment_batching_matches_per_unit_runs():
         assert dg_b[u] == dg_u[0]
 
 
+@pytest.mark.slow
 def test_infer_chromosome_streamed_matches_per_batch(tmp_path):
     """Cross-segment batched chromosome INFER (runner.infer_chromosome_
     streamed) writes BIT-IDENTICAL outputs to per-batch
