@@ -90,6 +90,7 @@ def run_filter(
     unroll: int = 8,
     vma_axes=(),
     return_history: bool = True,
+    pallas_resample: bool = False,
 ) -> FilterResult:
     """Run the filter over T sites; returns full weight/particle history.
 
@@ -163,6 +164,7 @@ def run_filter(
             M,
             optimal_resampling,
             multinomial_resampling,
+            pallas_resample=pallas_resample,
         )
         warm_lw = jnp.where(jnp.isnan(warm_lw), _NEG_INF, warm_lw)
         warm_shift = logsumexp(warm_lw)
@@ -188,6 +190,7 @@ def run_filter(
             M,
             optimal_resampling,
             multinomial_resampling,
+            pallas_resample=pallas_resample,
         )
         # Sanitise: any NaN weight becomes -inf (dead), and if the whole set
         # died (shift non-finite) reset to uniform so the filter can recover
@@ -392,6 +395,7 @@ def _one_step(
     optimal_resampling,
     multinomial_resampling,
     with_parents=False,
+    pallas_resample=False,
 ):
     """One filter step; static shapes throughout.
 
@@ -419,7 +423,17 @@ def _one_step(
 
     # --- resample M ancestors (resample block, :201-219) -------------------
     need_resample = n_finite > M
-    if optimal_resampling:
+    if optimal_resampling and pallas_resample:
+        # Opt-in fused Pallas resampler (ops/pallas_resampling): same key
+        # discipline, realisations can differ at f32 rounding boundaries.
+        from hygeia_tpu.ops.pallas_resampling import (
+            optimal_finite_state_resampling_pallas,
+        )
+
+        res = optimal_finite_state_resampling_pallas(
+            key, log_norm.astype(jnp.float32), M
+        )
+    elif optimal_resampling:
         res = optimal_finite_state_resampling(
             key, log_norm.astype(jnp.float32), M, normalized=True
         )
