@@ -13,6 +13,12 @@ import os
 import numpy as np
 import pandas as pd
 
+# gzip level 1: pandas' default level-9 gzip dominated the AGGREGATE stage
+# wall at chromosome scale (9 x ~400k-row int tables); decompressed content
+# is identical, so downstream consumers (incl. the reference's pd.read_table)
+# see the same files.
+_GZ1 = {"method": "gzip", "compresslevel": 1}
+
 
 def aggregate_chromosome(
     results_dir,
@@ -149,7 +155,7 @@ def aggregate_chromosome(
         df = pd.concat(df_list)
         df = df.set_index(index)
         df.to_csv(
-            os.path.join(output_dir, name), sep="\t", compression="gzip"
+            os.path.join(output_dir, name), sep="\t", compression=_GZ1
         )
         return df
 
@@ -160,7 +166,7 @@ def aggregate_chromosome(
     split_probs.to_csv(
         os.path.join(output_dir, f"split_probs_{chrom}.csv.gz"),
         sep="\t",
-        compression="gzip",
+        compression=_GZ1,
     )
     _write(frames["n_tot_ctrl"], f"n_total_reads_control_chrom_{chrom}.csv.gz")
     _write(frames["n_tot_case"], f"n_total_reads_case_chrom_{chrom}.csv.gz")
