@@ -280,7 +280,12 @@ def _prepare_engine(
         grad = grad + jnp.einsum("qnr,nrd->qnd", vals, onehot_p)
         return jnp.where(valid[:, :, None], grad, 0.0)
 
-    def step(carry, t):
+    def step(carry, t, emissions=emissions):
+        # `emissions` is a default-bound closure for the one-shot path (whose
+        # caller jits with the table as a traced argument); the CHUNKED path
+        # overrides it per call so its own jit does NOT bake the (T, R)
+        # table in as a multi-MB program constant — a 24 MB literal at
+        # T=1e6 stalled the remote compile service for tens of minutes.
         tables: ThetaTables = carry["tables"]
         d_prev, r_prev, w_prev = carry["d"], carry["r"], carry["w"]
 
@@ -679,13 +684,17 @@ def run_online_combined_inference_chunked(
                 shifts_parts = [ck["shifts"]]
     carry = jax.tree_util.tree_unflatten(treedef, leaves0)
 
+    emissions_arg = jnp.asarray(emissions)
+
     @jax.jit
-    def run_chunk(carry, ts):
-        return jax.lax.scan(step, carry, ts)
+    def run_chunk(carry, ts, em):
+        return jax.lax.scan(lambda c, t: step(c, t, em), carry, ts)
 
     while start < n_steps:
         stop = min(start + chunk_size, n_steps)
-        carry, (theta_trace, shifts) = run_chunk(carry, jnp.asarray(ts_all[start:stop]))
+        carry, (theta_trace, shifts) = run_chunk(
+            carry, jnp.asarray(ts_all[start:stop]), emissions_arg
+        )
         jax.block_until_ready(shifts)
         trace_parts.append(np.asarray(theta_trace))
         shifts_parts.append(np.asarray(shifts))

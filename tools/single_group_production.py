@@ -67,6 +67,7 @@ def main():
             estimate_parameters=(mode == "params"),
             estimate_regimes=(mode == "regimes"),
         )
+        print(f"mode={mode}: dispatching first chunk (compile)...", flush=True)
         t0 = time.perf_counter()
         res = run_online_combined_inference_chunked(
             jax.random.PRNGKey(0), model, theta0, E, cfg, chunk_size=CHUNK
