@@ -22,6 +22,13 @@ trajectory states are passed between neighbouring genome shards with
 ``jax.lax.ppermute`` over ICI, replacing the halo approximation with real
 boundary messages at ~the same compute cost (a short cold warmup tail plus
 one extra backward sweep instead of two halos).
+
+Programs are built ONCE per (mesh, static config) and cached at module
+level with the model parameter arrays riding as jit ARGUMENTS (replicated
+P() specs) — a previous revision rebuilt ``jax.jit(run_shard)`` on every
+call, which re-traced AND re-queried the remote compile cache per
+invocation (~15 s/program even on hits; measured as a 721% "overhead" in
+tools/mesh_onchip.py before the cache, CLAUDE.md rule 6b).
 """
 
 from __future__ import annotations
@@ -42,6 +49,9 @@ from hygeia_tpu.two_group.backward import (
     backward_simulation_conditioned,
 )
 
+# (scheme, mesh, static cfg) -> {"tables": jit, "run": jit}
+_PROGRAMS = {}
+
 
 def make_block_windows(arr, segment_size, buffer_size, n_blocks):
     """(T, S) -> (n_blocks, segment_size + 2*buffer_size, S) with zero-padded
@@ -55,6 +65,78 @@ def make_block_windows(arr, segment_size, buffer_size, n_blocks):
         [padded[b * segment_size : b * segment_size + win] for b in range(n_blocks)]
     )
     return out
+
+
+def _tables_program(emission_table_fn):
+    @jax.jit
+    def tables(alpha, beta, mc, tc, mk, tk):
+        f = jax.vmap(lambda m, t: emission_table_fn(m, t, alpha, beta))
+        return f(mc, tc), f(mk, tk)
+
+    return tables
+
+
+def _halo_programs(
+    mesh, n_regimes, min_duration, segment_size, buffer_size, M, B,
+    weight_dtype_name, phantom_regime, emission_table_fn,
+):
+    cache_key = (
+        "halo", mesh, n_regimes, min_duration, segment_size, buffer_size,
+        M, B, weight_dtype_name, phantom_regime, emission_table_fn,
+    )
+    if cache_key in _PROGRAMS:
+        return _PROGRAMS[cache_key]
+    weight_dtype = jnp.dtype(weight_dtype_name)
+
+    def run_one(params, key, e_c, e_k):
+        res = run_filter(
+            key,
+            params,
+            e_c,
+            e_k,
+            M,
+            weight_dtype=weight_dtype,
+            phantom_regime=phantom_regime,
+            vma_axes=("genome", "seed"),
+        )
+        traj = backward_simulation(
+            jax.random.fold_in(key, 1),
+            params,
+            res.log_weights,
+            res.particles,
+            B,
+        )
+        trimmed = traj[buffer_size : buffer_size + segment_size]
+        return trimmed, res.log_normalizing_constant
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),  # replicated model parameter arrays
+            P("genome"),  # per-block emission tables
+            P("genome"),
+            P("genome", "seed"),  # keys
+        ),
+        out_specs=(P("genome", "seed"), P("genome", "seed")),
+        # check_vma stays ON (the default): the cold-start carry promotion is
+        # declared explicitly via vma_axes -> lax.pcast in run_filter.
+    )
+    def run_shard(arrs, e_c_blocks, e_k_blocks, key_blocks):
+        params = TwoGroupParams(n_regimes, min_duration, *arrs)
+
+        # e_*_blocks: (blocks_per_dev, win, R); key_blocks: (bpd, spd, 2)
+        def per_block(e_c, e_k, ks):
+            return jax.vmap(lambda k: run_one(params, k, e_c, e_k))(ks)
+
+        return jax.vmap(per_block)(e_c_blocks, e_k_blocks, key_blocks)
+
+    progs = {
+        "tables": _tables_program(emission_table_fn),
+        "run": jax.jit(run_shard),
+    }
+    _PROGRAMS[cache_key] = progs
+    return progs
 
 
 def sharded_two_group_inference(
@@ -139,58 +221,16 @@ def sharded_two_group_inference(
     )(jnp.arange(n_blocks, dtype=jnp.uint32))  # (n_blocks, n_seeds, 2)
 
     B = num_samples_backward
-    win = segment_size + 2 * buffer_size
-
-    def run_one(key, e_c, e_k):
-        res = run_filter(
-            key,
-            params,
-            e_c,
-            e_k,
-            num_resampled_ancestors,
-            weight_dtype=weight_dtype,
-            phantom_regime=phantom_regime,
-            vma_axes=("genome", "seed"),
-        )
-        traj = backward_simulation(
-            jax.random.fold_in(key, 1),
-            params,
-            res.log_weights,
-            res.particles,
-            B,
-        )
-        trimmed = traj[buffer_size : buffer_size + segment_size]
-        return trimmed, res.log_normalizing_constant
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            P("genome"),  # per-block emission tables
-            P("genome"),
-            P("genome", "seed"),  # keys
-        ),
-        out_specs=(P("genome", "seed"), P("genome", "seed")),
-        # check_vma stays ON (the default): the cold-start carry promotion is
-        # declared explicitly via vma_axes -> lax.pcast in run_filter.
+    progs = _halo_programs(
+        mesh, params.n_regimes, params.min_duration, segment_size,
+        buffer_size, num_resampled_ancestors, B,
+        jnp.dtype(weight_dtype).name, phantom_regime, emission_table_fn,
     )
-    def run_shard(e_c_blocks, e_k_blocks, key_blocks):
-        # e_*_blocks: (blocks_per_dev, win, R); key_blocks: (bpd, spd, 2)
-        def per_block(e_c, e_k, ks):
-            return jax.vmap(lambda k: run_one(k, e_c, e_k))(ks)
-
-        return jax.vmap(per_block)(e_c_blocks, e_k_blocks, key_blocks)
-
-    # Emission tables per block (host->device once; computed under jit).
-    @jax.jit
-    def tables(mc, tc, mk, tk):
-        f = jax.vmap(
-            lambda m, t: emission_table_fn(m, t, params.alpha, params.beta)
-        )
-        return f(mc, tc), f(mk, tk)
-
-    e_c, e_k = tables(*[jnp.asarray(b) for b in blocks])
-    traj, log_z = jax.jit(run_shard)(e_c, e_k, keys)
+    e_c, e_k = progs["tables"](
+        params.alpha, params.beta, *[jnp.asarray(b) for b in blocks]
+    )
+    arrs = tuple(params[2:])
+    traj, log_z = progs["run"](arrs, e_c, e_k, keys)
     # (n_blocks, n_seeds, seg, B, 5) -> (n_blocks*seg, n_seeds*B, 5)
     traj = np.asarray(traj)
     nb, ns, seg, b, _ = traj.shape
@@ -198,87 +238,33 @@ def sharded_two_group_inference(
     return traj, np.asarray(log_z)
 
 
-def _exchange_two_group_inference(
-    mesh,
-    params: TwoGroupParams,
-    n_meth_control,
-    n_total_control,
-    n_meth_case,
-    n_total_case,
-    *,
-    segment_size,
-    warmup_size,
-    num_resampled_ancestors,
-    num_samples_backward,
-    seeds,
-    base_key,
-    weight_dtype,
-    phantom_regime=None,
-    emission_table_fn=None,
+def _exchange_programs(
+    mesh, n_regimes, min_duration, segment_size, warmup, M, B,
+    weight_dtype_name, phantom_regime, emission_table_fn,
 ):
-    """Exact boundary-exchange block-parallel smoothing (SURVEY.md s7 step 5 v2).
-
-    Each genome shard owns one contiguous window of ``bpd * segment_size``
-    sites (bpd = blocks per device). Four phases, all inside one shard_map:
-
-    1. warmup: a cold filter over the LAST ``warmup_size`` sites of the own
-       window, final state shipped RIGHT (``ppermute``) — the right
-       neighbour's boundary message (the analog of the reference's left halo,
-       but the state itself is passed instead of recomputed).
-    2. main filter: warm-started from the received state (shard 0
-       cold-starts with the phantom initial distribution).
-    3. backward round 1 (unconditioned): provides each shard's first-site
-       trajectory states, shipped LEFT.
-    4. backward round 2: re-simulated conditioned on the received next-block
-       states (last shard keeps the unconditioned terminal draw).
-
-    Per-site marginals are thereby boundary-consistent: a shard's last site
-    is sampled from the backward kernel against its right neighbour's
-    first-site law rather than from the filtered marginal. (Round-1/round-2
-    trajectories are coupled only in distribution across joins, not
-    sample-by-sample — sufficient for all downstream per-site functionals in
-    aggregate_results/get_dmps; a fully pathwise-coupled variant would need a
-    sequential K-round pipeline.)
-    """
+    cache_key = (
+        "exchange", mesh, n_regimes, min_duration, segment_size, warmup,
+        M, B, weight_dtype_name, phantom_regime, emission_table_fn,
+    )
+    if cache_key in _PROGRAMS:
+        return _PROGRAMS[cache_key]
+    weight_dtype = jnp.dtype(weight_dtype_name)
     n_genome = mesh.shape["genome"]
-    n_seed_mesh = mesh.shape["seed"]
-    n_seeds = len(seeds)
-    T = n_meth_control.shape[0]
-    n_blocks = max(1, -(-T // segment_size))
-    n_blocks = -(-n_blocks // n_genome) * n_genome
-    bpd = n_blocks // n_genome
-    win = bpd * segment_size
-    if n_seeds % n_seed_mesh:
-        raise ValueError("len(seeds) must be a multiple of the seed mesh axis")
-    W = int(min(warmup_size, win))
-    M = num_resampled_ancestors
-    B = num_samples_backward
-
-    blocks = [
-        make_block_windows(np.asarray(a, np.float32), segment_size, 0, n_blocks)
-        for a in (n_meth_control, n_total_control, n_meth_case, n_total_case)
-    ]
-    # Keys per (device window, seed): fold in the window's first block index
-    # so halo and exchange runs draw from unrelated streams.
-    keys = jax.vmap(
-        lambda g: jax.vmap(
-            lambda s: jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(base_key), g), s
-            )
-        )(jnp.asarray(seeds, jnp.uint32))
-    )(jnp.arange(n_blocks, dtype=jnp.uint32))  # (n_blocks, n_seeds, 2)
-
     right = [(i, i + 1) for i in range(n_genome - 1)]
     left = [(i + 1, i) for i in range(n_genome - 1)]
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("genome"), P("genome"), P("genome", "seed")),
+        in_specs=(P(), P("genome"), P("genome"), P("genome", "seed")),
         out_specs=(P("genome", "seed"), P("genome", "seed")),
     )
-    def run_shard(e_c_blocks, e_k_blocks, key_blocks):
+    def run_shard(arrs, e_c_blocks, e_k_blocks, key_blocks):
+        params = TwoGroupParams(n_regimes, min_duration, *arrs)
         # e_*_blocks: (bpd, segment_size, R); key_blocks: (bpd, spd, 2).
+        bpd = e_c_blocks.shape[0]
+        win = bpd * segment_size
+        W = int(min(warmup, win))
         R = e_c_blocks.shape[-1]
         e_c = e_c_blocks.reshape(win, R)
         e_k = e_k_blocks.reshape(win, R)
@@ -348,18 +334,91 @@ def _exchange_two_group_inference(
         log_z = res.log_normalizing_constant[None, :]  # (1, spd)
         return traj, log_z
 
-    if emission_table_fn is None:
-        emission_table_fn = emission_log_prob_table
+    progs = {
+        "tables": _tables_program(emission_table_fn),
+        "run": jax.jit(run_shard),
+    }
+    _PROGRAMS[cache_key] = progs
+    return progs
 
-    @jax.jit
-    def tables(mc, tc, mk, tk):
-        f = jax.vmap(
-            lambda m, t: emission_table_fn(m, t, params.alpha, params.beta)
-        )
-        return f(mc, tc), f(mk, tk)
 
-    e_c, e_k = tables(*[jnp.asarray(b) for b in blocks])
-    traj, log_z = jax.jit(run_shard)(e_c, e_k, keys)
+def _exchange_two_group_inference(
+    mesh,
+    params: TwoGroupParams,
+    n_meth_control,
+    n_total_control,
+    n_meth_case,
+    n_total_case,
+    *,
+    segment_size,
+    warmup_size,
+    num_resampled_ancestors,
+    num_samples_backward,
+    seeds,
+    base_key,
+    weight_dtype,
+    phantom_regime=None,
+    emission_table_fn=None,
+):
+    """Exact boundary-exchange block-parallel smoothing (SURVEY.md s7 step 5 v2).
+
+    Each genome shard owns one contiguous window of ``bpd * segment_size``
+    sites (bpd = blocks per device). Four phases, all inside one shard_map:
+
+    1. warmup: a cold filter over the LAST ``warmup_size`` sites of the own
+       window, final state shipped RIGHT (``ppermute``) — the right
+       neighbour's boundary message (the analog of the reference's left halo,
+       but the state itself is passed instead of recomputed).
+    2. main filter: warm-started from the received state (shard 0
+       cold-starts with the phantom initial distribution).
+    3. backward round 1 (unconditioned): provides each shard's first-site
+       trajectory states, shipped LEFT.
+    4. backward round 2: re-simulated conditioned on the received next-block
+       states (last shard keeps the unconditioned terminal draw).
+
+    Per-site marginals are thereby boundary-consistent: a shard's last site
+    is sampled from the backward kernel against its right neighbour's
+    first-site law rather than from the filtered marginal. (Round-1/round-2
+    trajectories are coupled only in distribution across joins, not
+    sample-by-sample — sufficient for all downstream per-site functionals in
+    aggregate_results/get_dmps; a fully pathwise-coupled variant would need a
+    sequential K-round pipeline.)
+    """
+    n_genome = mesh.shape["genome"]
+    n_seed_mesh = mesh.shape["seed"]
+    n_seeds = len(seeds)
+    T = n_meth_control.shape[0]
+    n_blocks = max(1, -(-T // segment_size))
+    n_blocks = -(-n_blocks // n_genome) * n_genome
+    if n_seeds % n_seed_mesh:
+        raise ValueError("len(seeds) must be a multiple of the seed mesh axis")
+    M = num_resampled_ancestors
+    B = num_samples_backward
+
+    blocks = [
+        make_block_windows(np.asarray(a, np.float32), segment_size, 0, n_blocks)
+        for a in (n_meth_control, n_total_control, n_meth_case, n_total_case)
+    ]
+    # Keys per (device window, seed): fold in the window's first block index
+    # so halo and exchange runs draw from unrelated streams.
+    keys = jax.vmap(
+        lambda g: jax.vmap(
+            lambda s: jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(base_key), g), s
+            )
+        )(jnp.asarray(seeds, jnp.uint32))
+    )(jnp.arange(n_blocks, dtype=jnp.uint32))  # (n_blocks, n_seeds, 2)
+
+    progs = _exchange_programs(
+        mesh, params.n_regimes, params.min_duration, segment_size,
+        int(warmup_size), M, B, jnp.dtype(weight_dtype).name,
+        phantom_regime, emission_table_fn,
+    )
+    e_c, e_k = progs["tables"](
+        params.alpha, params.beta, *[jnp.asarray(b) for b in blocks]
+    )
+    arrs = tuple(params[2:])
+    traj, log_z = progs["run"](arrs, e_c, e_k, keys)
     traj = np.asarray(traj)  # (n_blocks, n_seeds, seg, B, 5)
     nb, ns, seg, b, _ = traj.shape
     traj = traj.transpose(0, 2, 1, 3, 4).reshape(nb * seg, ns * b, 5)
