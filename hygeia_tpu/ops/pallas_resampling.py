@@ -131,15 +131,11 @@ def _kernel(lw_ref, u_ref, um_ref, parents_ref, neww_ref, topidx_ref, meta_ref, 
 
     # --- residual weights: exp(lw) minus the first k_star top entries ------
     # work has ALL kk top entries removed; add back those with k >= k_star.
-    def add_back(k, resid):
+    resid = jnp.where(work > _NEG * 0.5, jnp.exp(work), 0.0)
+    for k in range(kk):  # static unroll: Mosaic lacks dynamic_slice on values
         idx_k = jnp.sum(jnp.where(slot == k, top_idx, 0), dtype=jnp.int32)
         q_k = jnp.sum(jnp.where(slot == k, top_q, 0.0))
-        return resid + jnp.where(
-            (k >= k_star) & (gi == idx_k), q_k, 0.0
-        )
-
-    resid = jnp.where(work > _NEG * 0.5, jnp.exp(work), 0.0)
-    resid = jax.lax.fori_loop(0, kk, add_back, resid)
+        resid = resid + jnp.where((k >= k_star) & (gi == idx_k), q_k, 0.0)
 
     # --- prefix sums (blocked tril on the MXU) ------------------------------
     tril128 = (
@@ -173,17 +169,17 @@ def _kernel(lw_ref, u_ref, um_ref, parents_ref, neww_ref, topidx_ref, meta_ref, 
     t_sys = (grid_idx + u) / l_den * q_tot  # (SLOTS, 1)
 
     def count_below(q, t, strict_left=True):
-        # counts[s] = #{elements i: q_i < t_s} (or <=), looping row blocks.
-        def body(r, acc):
-            q_row = jax.lax.dynamic_slice(q, (r, 0), (1, 128))  # (1, 128)
+        # counts[s] = #{elements i: q_i < t_s} (or <=). Static python loop
+        # over the nb row blocks with STATIC slices (Mosaic has no
+        # dynamic_slice on values); each round is a (SLOTS, 128) compare.
+        acc = jnp.zeros((_SLOTS, 1), jnp.int32)
+        for r in range(nb):
+            q_row = q[r : r + 1, :]  # (1, 128) static slice
             cmp = (
                 (q_row < t) if strict_left else (q_row <= t)
             ).astype(jnp.int32)
-            return acc + jnp.sum(cmp, axis=1, keepdims=True, dtype=jnp.int32)
-
-        return jax.lax.fori_loop(
-            0, nb, body, jnp.zeros((_SLOTS, 1), jnp.int32)
-        )
+            acc = acc + jnp.sum(cmp, axis=1, keepdims=True, dtype=jnp.int32)
+        return acc
 
     sys_parents = jnp.clip(count_below(q_resid, t_sys), 0, n - 1)
     kept_parents = top_idx
