@@ -202,8 +202,12 @@ def _kernel(lw_ref, u_ref, um_ref, parents_ref, neww_ref, topidx_ref, meta_ref, 
     parents_ref[:] = parents.astype(jnp.int32)
     neww_ref[:] = new_w
     topidx_ref[:] = top_idx.astype(jnp.int32)
-    meta_ref[0, 0] = jnp.where(bad, 0.0, log_c)
-    meta_ref[0, 1] = bad.astype(jnp.float32)
+    # Vector store (Mosaic cannot store scalars to VMEM): lane 0 = log_c,
+    # lane 1 = the fallback flag.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 2), 1)
+    meta_ref[:] = jnp.where(
+        col == 0, jnp.where(bad, 0.0, log_c), bad.astype(jnp.float32)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_offspring", "interpret"))
