@@ -17,6 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hygeia_tpu.utils.io import savez_fast
 from hygeia_tpu.ops.emissions import emission_log_prob_table
 from hygeia_tpu.two_group.model import make_params
 from hygeia_tpu.two_group.filter import run_filter
@@ -303,22 +304,22 @@ def infer_segment(
             times[s][N] = t_f
             times_backward[s][N] = t_b
             all_log_norm[s][N] = log_z
-            np.savez_compressed(
+            savez_fast(
                 os.path.join(path, f"optimal_backward_particles_merged_state_{N}_{s}"),
                 traj[:, :, 0].astype(np.int16)[ret],
             )
-            np.savez_compressed(
+            savez_fast(
                 os.path.join(path, f"optimal_backward_particles_control_state_{N}_{s}"),
                 traj[:, :, 1:3].astype(np.int32)[ret],
             )
-            np.savez_compressed(
+            savez_fast(
                 os.path.join(path, f"optimal_backward_particles_case_state_{N}_{s}"),
                 traj[:, :, 3:5].astype(np.int32)[ret],
             )
-            np.savez_compressed(
+            savez_fast(
                 os.path.join(path, f"optimal_split_probs_{N}_{s}"), split_s
             )
-            np.savez_compressed(
+            savez_fast(
                 os.path.join(path, f"optimal_regime_probs_{N}_{s}"), regime_s
             )
 
@@ -575,32 +576,32 @@ def infer_chromosome_streamed(
                         )
                     _, ret, _, path = wins[b]
                     traj = traj_np[i]
-                    np.savez_compressed(
+                    savez_fast(
                         os.path.join(
                             path,
                             f"optimal_backward_particles_merged_state_{N}_{s}",
                         ),
                         traj[:, :, 0].astype(np.int16)[ret],
                     )
-                    np.savez_compressed(
+                    savez_fast(
                         os.path.join(
                             path,
                             f"optimal_backward_particles_control_state_{N}_{s}",
                         ),
                         traj[:, :, 1:3].astype(np.int32)[ret],
                     )
-                    np.savez_compressed(
+                    savez_fast(
                         os.path.join(
                             path,
                             f"optimal_backward_particles_case_state_{N}_{s}",
                         ),
                         traj[:, :, 3:5].astype(np.int32)[ret],
                     )
-                    np.savez_compressed(
+                    savez_fast(
                         os.path.join(path, f"optimal_split_probs_{N}_{s}"),
                         split_v[i],
                     )
-                    np.savez_compressed(
+                    savez_fast(
                         os.path.join(path, f"optimal_regime_probs_{N}_{s}"),
                         regime_v[i],
                     )
@@ -809,19 +810,19 @@ def infer_chromosome_meshed(
                 lz_row = log_z[min(batch, log_z.shape[0] - 1)]
             for i, s in enumerate(seeds):
                 tb = traj_b[:, i * B : (i + 1) * B]
-                np.savez_compressed(
+                savez_fast(
                     os.path.join(
                         path, f"optimal_backward_particles_merged_state_{N}_{s}"
                     ),
                     tb[:, :, 0].astype(np.int16),
                 )
-                np.savez_compressed(
+                savez_fast(
                     os.path.join(
                         path, f"optimal_backward_particles_control_state_{N}_{s}"
                     ),
                     tb[:, :, 1:3].astype(np.int32),
                 )
-                np.savez_compressed(
+                savez_fast(
                     os.path.join(
                         path, f"optimal_backward_particles_case_state_{N}_{s}"
                     ),
@@ -839,10 +840,10 @@ def infer_chromosome_meshed(
                     ],
                     axis=-1,
                 ).astype(np.float32)
-                np.savez_compressed(
+                savez_fast(
                     os.path.join(path, f"optimal_split_probs_{N}_{s}"), split_s
                 )
-                np.savez_compressed(
+                savez_fast(
                     os.path.join(path, f"optimal_regime_probs_{N}_{s}"), regime_s
                 )
                 all_log_norm[s].setdefault(batch, {})[N] = float(lz_row[i])
@@ -916,10 +917,10 @@ def _run_marginal_m(
             times[s][N] = elapsed / len(chunk)
             all_log_norm[s][N] = float(log_z_v[i])
             fn = np.asarray(fn_v[i])
-            np.savez_compressed(
+            savez_fast(
                 os.path.join(path, f"optimal_split_probs_{N}_{s}"), fn[ret, 0]
             )
-            np.savez_compressed(
+            savez_fast(
                 os.path.join(path, f"optimal_regime_probs_{N}_{s}"), fn[ret, 1:]
             )
             if int(spill_v[i]):

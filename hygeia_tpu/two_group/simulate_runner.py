@@ -38,6 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hygeia_tpu.utils.io import savez_fast
 from hygeia_tpu.ops.distributions import logit
 from hygeia_tpu.ops.emissions import emission_log_prob_table
 from hygeia_tpu.two_group.model import make_params
@@ -91,13 +92,13 @@ def simulate_two_groups(args):
     sim = simulate(jax.random.PRNGKey(args.seed), params, n_c, n_k)
     states = np.asarray(sim.states)
 
-    np.savez_compressed(
+    savez_fast(
         os.path.join(args.results_dir, "true_merged_states"), states[:, 0]
     )
-    np.savez_compressed(
+    savez_fast(
         os.path.join(args.results_dir, "true_control_states"), states[:, 1:3]
     )
-    np.savez_compressed(
+    savez_fast(
         os.path.join(args.results_dir, "true_case_states"), states[:, 3:5]
     )
     np.savetxt(
@@ -139,23 +140,23 @@ def simulate_two_groups(args):
         log_z, traj = run(jax.random.PRNGKey(args.seed))
         traj = np.asarray(traj)
         split, regime = smoothing_functionals(traj, R)
-        np.savez_compressed(
+        savez_fast(
             os.path.join(args.results_dir, f"optimal_backward_particles_merged_state_{N}_{args.seed}"),
             traj[:, :, 0].astype(np.int16),
         )
-        np.savez_compressed(
+        savez_fast(
             os.path.join(args.results_dir, f"optimal_backward_particles_control_state_{N}_{args.seed}"),
             traj[:, :, 1:3].astype(np.int32),
         )
-        np.savez_compressed(
+        savez_fast(
             os.path.join(args.results_dir, f"optimal_backward_particles_case_state_{N}_{args.seed}"),
             traj[:, :, 3:5].astype(np.int32),
         )
-        np.savez_compressed(
+        savez_fast(
             os.path.join(args.results_dir, f"optimal_split_probs_{N}_{args.seed}"),
             np.asarray(split),
         )
-        np.savez_compressed(
+        savez_fast(
             os.path.join(args.results_dir, f"optimal_regime_probs_{N}_{args.seed}"),
             np.asarray(regime),
         )

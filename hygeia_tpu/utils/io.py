@@ -104,3 +104,27 @@ def theta_file_to_p_softmax(theta, n_regimes):
         log_p = np.log(p)
     omega_logit = theta[-R:]
     return log_p, omega_logit
+
+
+def savez_fast(path, arr):
+    """np.savez_compressed-compatible single-array .npz writer at zlib
+    level 1.
+
+    numpy pins its npz deflate at level 6; at production scale the INFER
+    stage writes ~0.5 GB of trajectory archives per chromosome and the
+    compression wall was a visible share of the warm stage (PERF.md pipeline
+    table). An .npz is just a zip of .npy members, so writing the member
+    through zipfile with compresslevel=1 produces a file np.load reads
+    identically (key "arr_0", like np.savez_compressed(path, arr))."""
+    import io as _io
+    import zipfile
+
+    path = str(path)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    buf = _io.BytesIO()
+    np.lib.format.write_array(buf, np.asanyarray(arr), allow_pickle=False)
+    with zipfile.ZipFile(
+        path, "w", compression=zipfile.ZIP_DEFLATED, compresslevel=1
+    ) as zf:
+        zf.writestr("arr_0.npy", buf.getvalue())
