@@ -57,6 +57,10 @@ class EngineConfig(NamedTuple):
     # SMC steps, OnlineCombinedInference.h:77-85). Static: when 0 no debug
     # callback is traced into the scan at all.
     progress_every: int = 0
+    # lax.scan unroll factor: amortises per-step scan machinery over several
+    # sites (the two-group filter measured ~2x from unroll=8; the engine's
+    # win is measured by tools/single_group_bench HYGEIA_SG_UNROLL sweep).
+    scan_unroll: int = 1
 
 
 class EngineResult(NamedTuple):
@@ -280,12 +284,15 @@ def _prepare_engine(
         grad = grad + jnp.einsum("qnr,nrd->qnd", vals, onehot_p)
         return jnp.where(valid[:, :, None], grad, 0.0)
 
-    def step(carry, t, emissions=emissions):
+    def step(carry, t, emissions=emissions, t_off=0):
         # `emissions` is a default-bound closure for the one-shot path (whose
         # caller jits with the table as a traced argument); the CHUNKED path
-        # overrides it per call so its own jit does NOT bake the (T, R)
-        # table in as a multi-MB program constant — a 24 MB literal at
-        # T=1e6 stalled the remote compile service for tens of minutes.
+        # overrides it with a PER-CHUNK slice plus the chunk's site offset,
+        # so its own jit neither bakes the (T, R) table in as a multi-MB
+        # program constant (a 24 MB literal at T=1e6 stalled the remote
+        # compile service for tens of minutes) nor keys the chunk programs
+        # on the chromosome length (chunk-shaped tables -> at most two
+        # program shapes per config, any T).
         tables: ThetaTables = carry["tables"]
         d_prev, r_prev, w_prev = carry["d"], carry["r"], carry["w"]
 
@@ -372,7 +379,7 @@ def _prepare_engine(
         r_new = jnp.where(is_cont, r_a, jnp.where(is_fresh, slot - m_t, 0)).astype(
             jnp.int32
         )
-        obs_t = emissions[t].astype(dtype)  # (R,)
+        obs_t = emissions[t - t_off].astype(dtype)  # (R,)
         obs_new = jnp.sum(
             jnp.where(r_new[:, None] == regimes[None, :], obs_t[None, :], 0.0),
             axis=-1,
@@ -626,7 +633,9 @@ def run_online_combined_inference(
 
         carry0, shift0 = pcast_varying((carry0, shift0), vma_axes)
     ts = jnp.arange(1, T, dtype=jnp.int32)
-    carry_f, (theta_trace, shifts) = jax.lax.scan(step, carry0, ts)
+    carry_f, (theta_trace, shifts) = jax.lax.scan(
+        step, carry0, ts, unroll=config.scan_unroll
+    )
     return _result_from_carry(
         carry_f, theta_init, theta_trace, shift0 + jnp.sum(shifts), T
     )
@@ -687,13 +696,26 @@ def run_online_combined_inference_chunked(
     emissions_arg = jnp.asarray(emissions)
 
     @jax.jit
-    def run_chunk(carry, ts, em):
-        return jax.lax.scan(lambda c, t: step(c, t, em), carry, ts)
+    def run_chunk(carry, ts, em_chunk, t0):
+        # t0 rides as a TRACED scalar (a static one would re-specialise the
+        # program per chunk).
+        return jax.lax.scan(
+            lambda c, t: step(c, t, em_chunk, t0),
+            carry,
+            ts,
+            unroll=config.scan_unroll,
+        )
 
     while start < n_steps:
         stop = min(start + chunk_size, n_steps)
+        t0_site = int(ts_all[start])
         carry, (theta_trace, shifts) = run_chunk(
-            carry, jnp.asarray(ts_all[start:stop]), emissions_arg
+            carry,
+            jnp.asarray(ts_all[start:stop]),
+            jax.lax.slice_in_dim(
+                emissions_arg, t0_site, int(ts_all[stop - 1]) + 1
+            ),
+            jnp.asarray(t0_site, jnp.int32),
         )
         jax.block_until_ready(shifts)
         trace_parts.append(np.asarray(theta_trace))

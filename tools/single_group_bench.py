@@ -52,6 +52,7 @@ def main():
         estimate_regimes=True,
         estimate_parameters=True,
         steps_per_update=200,
+        scan_unroll=int(os.environ.get("HYGEIA_SG_UNROLL", 1)),
     )
 
     n = rng.poisson(30, size=(UNITS, T, 2)).astype(np.float32)

@@ -66,6 +66,7 @@ def main():
             n_particles_max=NP_,
             estimate_parameters=(mode == "params"),
             estimate_regimes=(mode == "regimes"),
+            scan_unroll=int(os.environ.get("HYGEIA_SG_UNROLL", 1)),
         )
         print(f"mode={mode}: dispatching first chunk (compile)...", flush=True)
         t0 = time.perf_counter()
