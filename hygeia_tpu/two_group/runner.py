@@ -489,6 +489,10 @@ def infer_chromosome_streamed(
         groups.setdefault(t_w, []).append(batch)
 
     from hygeia_tpu.two_group.streaming import streamed_inference
+    from concurrent.futures import ThreadPoolExecutor
+
+    _io_pool = ThreadPoolExecutor(max_workers=2)
+    io_futures = []
 
     for M in num_resampled_particles:
         N = M * (2 * R + R * R)
@@ -576,27 +580,35 @@ def infer_chromosome_streamed(
                         )
                     _, ret, _, path = wins[b]
                     traj = traj_np[i]
-                    savez_fast(
+                    # Archive writes ride a small thread pool so the zlib
+                    # compression (which releases the GIL) overlaps the next
+                    # chunk's device dispatch/pull (~1 s x 3 archives x unit
+                    # on the 2-core host otherwise serialises after every
+                    # chunk). Joined before the flags files below.
+                    io_futures.append(_io_pool.submit(
+                        savez_fast,
                         os.path.join(
                             path,
                             f"optimal_backward_particles_merged_state_{N}_{s}",
                         ),
                         traj[:, :, 0].astype(np.int16)[ret],
-                    )
-                    savez_fast(
+                    ))
+                    io_futures.append(_io_pool.submit(
+                        savez_fast,
                         os.path.join(
                             path,
                             f"optimal_backward_particles_control_state_{N}_{s}",
                         ),
                         traj[:, :, 1:3].astype(np.int32)[ret],
-                    )
-                    savez_fast(
+                    ))
+                    io_futures.append(_io_pool.submit(
+                        savez_fast,
                         os.path.join(
                             path,
                             f"optimal_backward_particles_case_state_{N}_{s}",
                         ),
                         traj[:, :, 3:5].astype(np.int32)[ret],
-                    )
+                    ))
                     savez_fast(
                         os.path.join(path, f"optimal_split_probs_{N}_{s}"),
                         split_v[i],
@@ -607,6 +619,10 @@ def infer_chromosome_streamed(
                     )
                     all_log_norm[b][s][N] = float(log_z_v[i])
                     times[b][s][N] = t_chunk / len(chunk)
+
+    for f in io_futures:
+        f.result()  # surface any writer exception before declaring success
+    _io_pool.shutdown()
 
     for batch, (t_w, ret, counts, path) in wins.items():
         flags = {
