@@ -586,6 +586,34 @@ def _stub_two_group(out, chroms, inference_seeds, n_backward_total):
             (d / f"optimal_backward_particles_merged_state_{n_backward_total}_{seed}.npz").touch()
 
 
+# (statics, EngineConfig) -> jitted combined-inference program with the
+# model arrays + emission table riding as arguments (see the rule-6b/6d
+# comment at the call site).
+_SG_PROGRAMS = {}
+
+
+def _sg_engine_program(R, u, kappa_fixed, d_max, cfg):
+    key_c = (R, u, kappa_fixed, d_max, cfg)
+    if key_c in _SG_PROGRAMS:
+        return _SG_PROGRAMS[key_c]
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from hygeia_tpu.single_group.model import SingleGroupModel
+    from hygeia_tpu.single_group.engine import run_online_combined_inference
+
+    @jax.jit
+    def run(key, alpha, beta, kappa0, theta_init, E):
+        model = SingleGroupModel(
+            n_regimes=R, u=u, kappa_fixed=kappa_fixed, d_max=d_max,
+            alpha=alpha, beta=beta, kappa0=kappa0,
+        )
+        return run_online_combined_inference(key, model, theta_init, E, cfg)
+
+    _SG_PROGRAMS[key_c] = run
+    return run
+
+
 def _single_group_on_counts(
     pre_dir,
     sg_dir,
@@ -649,11 +677,22 @@ def _single_group_on_counts(
         learning_rate_exponent=learning_rate_exponent,
         learning_rate_factor=learning_rate_factor,
     )
-    res = jax.jit(
-        lambda key: run_online_combined_inference(
-            key, model, jnp.asarray(theta_init, jnp.float32), E, cfg
-        )
-    )(jax.random.PRNGKey(rng_seed))
+    # Program cached at module level with the table/model arrays as jit
+    # ARGUMENTS: a fresh `jax.jit(lambda ...)` per stage call re-traced and
+    # re-queried the remote compile cache every chromosome (CLAUDE.md rule
+    # 6b) and baked the (T, R) emission table in as a multi-MB program
+    # constant (rule 6d).
+    prog = _sg_engine_program(
+        model.n_regimes, model.u, model.kappa_fixed, model.d_max, cfg
+    )
+    res = prog(
+        jax.random.PRNGKey(rng_seed),
+        model.alpha,
+        model.beta,
+        model.kappa0,
+        jnp.asarray(theta_init, jnp.float32),
+        E,
+    )
 
     if estimate_regimes:
         probs = np.asarray(res.regime_probs)

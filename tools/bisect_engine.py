@@ -48,7 +48,8 @@ def main():
     rng = np.random.default_rng(0)
     mu = np.array([0.99, 0.01, 0.80, 0.20, 0.50, 0.50])
     sigma = np.array([0.05, 0.05, 0.20, 0.20, 0.20, 0.2886751])
-    model = make_model(mu, sigma, 3, np.full(R, 2.0), d_max=T + 2)
+    d_max = int(os.environ.get("HYGEIA_ENGINE_DMAX", T + 2))
+    model = make_model(mu, sigma, 3, np.full(R, 2.0), d_max=d_max)
     P0 = np.full((R, R), 1.0 / (R - 1))
     np.fill_diagonal(P0, 0.0)
     theta0 = jnp.asarray(parameters_to_theta(P0, np.full(R, 0.9)), jnp.float32)
@@ -88,7 +89,7 @@ def main():
             print(
                 json.dumps(
                     {
-                        "units": units,
+                        "units": units, "T": T, "d_max": d_max,
                         "case": name,
                         "sec": round(sec, 3),
                         "us_per_step": round(1e6 * sec / T, 1),
