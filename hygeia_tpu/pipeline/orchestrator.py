@@ -694,16 +694,25 @@ def _single_group_on_counts(
         E,
     )
 
+    # Level-1 gzip: the theta trace is (T, dim_theta) floats — at level 9
+    # these two writes cost ~half the warm stage wall at chromosome scale
+    # (decompressed content identical; CLAUDE.md rule 6e).
+    gz1 = {"method": "gzip", "compresslevel": 1}
     if estimate_regimes:
         probs = np.asarray(res.regime_probs)
         df = pd.DataFrame(probs, columns=[f"regime_{i + 1}" for i in range(R)])
         df.insert(0, "genomic_position", positions[: len(df)])
-        df.to_csv(sg_dir / f"regime_probabilities_{chrom}.csv.gz", index=False)
+        df.to_csv(
+            sg_dir / f"regime_probabilities_{chrom}.csv.gz", index=False,
+            compression=gz1,
+        )
 
     trace = np.asarray(res.theta_trace)
     pd.DataFrame(
         trace, columns=[f"theta_{i + 1}" for i in range(trace.shape[1])]
-    ).to_csv(sg_dir / f"theta_trace_{chrom}.csv.gz", index=False)
+    ).to_csv(
+        sg_dir / f"theta_trace_{chrom}.csv.gz", index=False, compression=gz1
+    )
     final = theta_to_parameters(trace[-1], R)
     pd.DataFrame(final["p"], columns=[f"regime_{i + 1}" for i in range(R)]).to_csv(
         sg_dir / f"p_{chrom}.csv.gz", index=False
