@@ -302,6 +302,45 @@ def run_two_group(
         trace.flush()
         return out
 
+    # ---- 2 (batched pre-pass): when counts for every chromosome exist up
+    # front (preprocessed_dir mode), run the theta stage for ALL pending
+    # chromosomes in ONE vmapped device program — one sequential chain
+    # leaves ~87% of the chip idle (tools/bisect_engine), and the engine's
+    # t_limit masking makes ragged batching bit-identical per chromosome.
+    # On failure the markers stay unset and the per-chromosome path below
+    # handles each individually (retry/ignore semantics unchanged).
+    if preprocessed_dir is not None and len(chroms) > 1:
+        sg_root = out / "2_ESTIMATE_PARAMETERS_AND_REGIMES"
+        pending = [c for c in chroms if _stage(sg_root / str(c), resume)]
+        if len(pending) > 1:
+
+            def _sg_batched(attempt):
+                _single_group_on_counts_batched(
+                    Path(preprocessed_dir),
+                    sg_root,
+                    pending,
+                    group="control",
+                    mu=mu,
+                    sigma=sigma,
+                    u=u,
+                    n_particles=n_particles_single_group,
+                    epsilon=epsilon,
+                    steps_per_update=n_steps_without_parameter_update,
+                    learning_rate_exponent=learning_rate_exponent,
+                    learning_rate_factor=learning_rate_factor,
+                    rng_seed=rng_seed,
+                )
+                for c in pending:
+                    _finish(sg_root / str(c))
+
+            _attempt(
+                _sg_batched,
+                trace=trace,
+                stage="ESTIMATE_PARAMETERS_AND_REGIMES[batched]",
+                chrom=",".join(map(str, pending)),
+                max_retries=1,
+            )
+
     for chrom in chroms:
         # ---- 1: preprocess ------------------------------------------------
         pre_dir = out / "1_PREPROCESS" / str(chrom)
@@ -592,8 +631,8 @@ def _stub_two_group(out, chroms, inference_seeds, n_backward_total):
 _SG_PROGRAMS = {}
 
 
-def _sg_engine_program(R, u, kappa_fixed, d_max, cfg):
-    key_c = (R, u, kappa_fixed, d_max, cfg)
+def _sg_engine_program(R, u, kappa_fixed, d_max, cfg, batched=False):
+    key_c = (R, u, kappa_fixed, d_max, cfg, batched)
     if key_c in _SG_PROGRAMS:
         return _SG_PROGRAMS[key_c]
     import jax
@@ -602,13 +641,31 @@ def _sg_engine_program(R, u, kappa_fixed, d_max, cfg):
     from hygeia_tpu.single_group.model import SingleGroupModel
     from hygeia_tpu.single_group.engine import run_online_combined_inference
 
-    @jax.jit
-    def run(key, alpha, beta, kappa0, theta_init, E):
-        model = SingleGroupModel(
+    def _model(alpha, beta, kappa0):
+        return SingleGroupModel(
             n_regimes=R, u=u, kappa_fixed=kappa_fixed, d_max=d_max,
             alpha=alpha, beta=beta, kappa0=kappa0,
         )
-        return run_online_combined_inference(key, model, theta_init, E, cfg)
+
+    if batched:
+        # vmapped ragged chromosomes (see _single_group_on_counts_batched).
+        @jax.jit
+        def run(keys, alpha, beta, kappa0, theta_init, Es, t_limits):
+            model = _model(alpha, beta, kappa0)
+
+            def one(key, E, tl):
+                return run_online_combined_inference(
+                    key, model, theta_init, E, cfg, t_limit=tl
+                )
+
+            return jax.vmap(one)(keys, Es, t_limits)
+
+    else:
+
+        @jax.jit
+        def run(key, alpha, beta, kappa0, theta_init, E):
+            model = _model(alpha, beta, kappa0)
+            return run_online_combined_inference(key, model, theta_init, E, cfg)
 
     _SG_PROGRAMS[key_c] = run
     return run
@@ -694,12 +751,27 @@ def _single_group_on_counts(
         E,
     )
 
+    _write_sg_outputs(
+        sg_dir, chrom, positions,
+        np.asarray(res.regime_probs) if estimate_regimes else None,
+        np.asarray(res.theta_trace), R, kappa,
+    )
+
+
+def _write_sg_outputs(sg_dir, chrom, positions, probs, trace, R, kappa):
+    """Reference-named single-group stage outputs (theta_{chrom}.csv.gz etc.)
+    — shared by the per-chromosome and the batched stage paths."""
+    import pandas as pd
+
+    from hygeia_tpu.single_group.model import theta_to_parameters
+    from hygeia_tpu.utils import io as hio
+
+    sg_dir = Path(sg_dir)
     # Level-1 gzip: the theta trace is (T, dim_theta) floats — at level 9
     # these two writes cost ~half the warm stage wall at chromosome scale
     # (decompressed content identical; CLAUDE.md rule 6e).
     gz1 = {"method": "gzip", "compresslevel": 1}
-    if estimate_regimes:
-        probs = np.asarray(res.regime_probs)
+    if probs is not None:
         df = pd.DataFrame(probs, columns=[f"regime_{i + 1}" for i in range(R)])
         df.insert(0, "genomic_position", positions[: len(df)])
         df.to_csv(
@@ -707,7 +779,6 @@ def _single_group_on_counts(
             compression=gz1,
         )
 
-    trace = np.asarray(res.theta_trace)
     pd.DataFrame(
         trace, columns=[f"theta_{i + 1}" for i in range(trace.shape[1])]
     ).to_csv(
@@ -720,6 +791,112 @@ def _single_group_on_counts(
     hio.write_headed_column(sg_dir / f"omega_{chrom}.csv.gz", final["omega"], "omega")
     hio.write_headed_column(sg_dir / f"kappa_{chrom}.csv.gz", kappa, "kappa")
     hio.write_theta(sg_dir / f"theta_{chrom}.csv.gz", trace[-1])
+
+
+def _single_group_on_counts_batched(
+    pre_dir,
+    sg_root,
+    chroms,
+    *,
+    group,
+    mu,
+    sigma,
+    u,
+    n_particles,
+    epsilon,
+    steps_per_update,
+    learning_rate_exponent,
+    learning_rate_factor,
+    rng_seed,
+):
+    """ESTIMATE_PARAMETERS_AND_REGIMES for SEVERAL chromosomes in ONE
+    vmapped device program (ragged lengths via the engine's t_limit
+    masking — theta/resampling decisions BYTE-identical per chromosome;
+    the smoothing means drift only at f32 reduction-order ulp under vmap.
+    tests: test_t_limit_masking_matches_unbatched_run,
+    test_batched_single_group_stage_matches_per_chromosome).
+
+    Why: one sequential theta chain leaves ~87% of the chip idle
+    (tools/bisect_engine: 8 vmapped units cost 2.3x ONE unit for 8x the
+    work) and the stage is the pipeline's second-largest warm cost. The
+    reference has no analog — its module 2 is one container per chromosome
+    (modules/two_group/2_estimate_parameters_and_regimes.nf).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hygeia_tpu.ops.emissions import emission_log_prob_table
+    from hygeia_tpu.single_group.model import make_model
+    from hygeia_tpu.single_group.engine import EngineConfig
+    from hygeia_tpu.utils import io as hio
+
+    pre_dir = Path(pre_dir)
+    R = len(mu)
+    kappa = np.full(R, 2.0)
+    model = make_model(np.asarray(mu), np.asarray(sigma), u, kappa, d_max=4096)
+    cfg = EngineConfig(
+        n_particles_max=n_particles,
+        epsilon=epsilon,
+        estimate_regimes=True,
+        estimate_parameters=True,
+        steps_per_update=steps_per_update,
+        learning_rate_exponent=learning_rate_exponent,
+        learning_rate_factor=learning_rate_factor,
+    )
+    theta_init = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(rng_seed), (model.dim_theta,))
+    )
+
+    tables, t_limits, positions_all = [], [], []
+    for chrom in chroms:
+        n_total = hio.read_count_matrix(
+            pre_dir / f"n_total_reads_{group}_{chrom}.txt.gz"
+        )
+        n_meth = hio.read_count_matrix(
+            pre_dir / f"n_methylated_reads_{group}_{chrom}.txt.gz"
+        )
+        positions_all.append(
+            hio.read_positions(pre_dir / f"positions_{chrom}.txt.gz")
+        )
+        tables.append(
+            np.asarray(
+                emission_log_prob_table(
+                    n_meth, n_total, model.alpha, model.beta
+                )
+            )
+        )
+        t_limits.append(tables[-1].shape[0])
+    t_max = max(t_limits)
+    E = np.zeros((len(chroms), t_max, R), np.float32)
+    for i, tab in enumerate(tables):
+        E[i, : tab.shape[0]] = tab  # zero rows past the limit are masked
+
+    prog = _sg_engine_program(
+        model.n_regimes, model.u, model.kappa_fixed, model.d_max, cfg,
+        batched=True,
+    )
+    keys = jnp.stack(
+        [jax.random.PRNGKey(rng_seed)] * len(chroms)
+    )  # same key per chromosome, matching the sequential path exactly
+    res = prog(
+        keys,
+        model.alpha,
+        model.beta,
+        model.kappa0,
+        jnp.asarray(theta_init, jnp.float32),
+        jnp.asarray(E),
+        jnp.asarray(t_limits, jnp.int32),
+    )
+    probs = np.asarray(res.regime_probs)
+    traces = np.asarray(res.theta_trace)
+    for i, chrom in enumerate(chroms):
+        sg_dir = Path(sg_root) / str(chrom)
+        sg_dir.mkdir(parents=True, exist_ok=True)
+        T_u = t_limits[i]
+        _write_sg_outputs(
+            sg_dir, chrom, positions_all[i], probs[i, :T_u],
+            traces[i, : T_u - 1], R, kappa,
+        )
 
 
 def read_sample_sheet(path):

@@ -284,7 +284,7 @@ def _prepare_engine(
         grad = grad + jnp.einsum("qnr,nrd->qnd", vals, onehot_p)
         return jnp.where(valid[:, :, None], grad, 0.0)
 
-    def step(carry, t, emissions=emissions, t_off=0):
+    def step(carry, t, emissions=emissions, t_off=0, t_limit=None):
         # `emissions` is a default-bound closure for the one-shot path (whose
         # caller jits with the table as a traced argument); the CHUNKED path
         # overrides it with a PER-CHUNK slice plus the chunk's site offset,
@@ -465,7 +465,7 @@ def _prepare_engine(
                 "srn,n->sr", (psi_new - means[:, :, None]) ** 2, w_self
             )
             all_below = jnp.all(second < eps, axis=1)
-            is_final = t == T - 1
+            is_final = t == (T if t_limit is None else t_limit) - 1
             fin = psi_valid & (all_below | is_final)
             write_vals = jnp.where(
                 fin[:, None], means.astype(jnp.float32), out[psi_time]
@@ -574,6 +574,18 @@ def _prepare_engine(
             score=score,
             key=carry["key"],
         )
+        if t_limit is not None:
+            # Ragged batching (vmapped chromosomes of different lengths —
+            # the orchestrator's batched theta stage): steps at t >= t_limit
+            # freeze the carry wholesale (including the RNG key, so the live
+            # prefix is BIT-IDENTICAL to an unbatched run of length t_limit)
+            # and contribute zero to the log-normalising constant.
+            live = t < t_limit
+            carry_out = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), carry_out, carry
+            )
+            theta = carry_out["theta"]
+            shift = jnp.where(live, shift, jnp.zeros_like(shift))
         return carry_out, (theta, shift)
 
     # Initial-step smoothing estimate may finalise immediately; the reference
@@ -613,8 +625,15 @@ def run_online_combined_inference(
     config: EngineConfig,
     weight_dtype=jnp.float32,
     vma_axes=(),
+    t_limit=None,
 ):
     """Run the combined algorithm over T sites in one scan.
+
+    t_limit (traced scalar, optional): effective chromosome length for
+    ragged batching — steps at t >= t_limit freeze the carry (bit-identical
+    live prefix to an unbatched run of length t_limit; zero logZ
+    contribution), and the adaptive-lag force-finalisation fires at
+    t_limit - 1 instead of T - 1. Callers slice outputs to [:t_limit].
 
     Mirrors OnlineCombinedInference::run (OnlineCombinedInference.h:48-118):
     initialise, then per step: smc.iterate -> evaluateBackwardKernels ->
@@ -633,8 +652,16 @@ def run_online_combined_inference(
 
         carry0, shift0 = pcast_varying((carry0, shift0), vma_axes)
     ts = jnp.arange(1, T, dtype=jnp.int32)
+    if t_limit is None:
+        body = step
+    else:
+        t_lim = jnp.asarray(t_limit, jnp.int32)
+
+        def body(c, t):
+            return step(c, t, t_limit=t_lim)
+
     carry_f, (theta_trace, shifts) = jax.lax.scan(
-        step, carry0, ts, unroll=config.scan_unroll
+        body, carry0, ts, unroll=config.scan_unroll
     )
     return _result_from_carry(
         carry_f, theta_init, theta_trace, shift0 + jnp.sum(shifts), T

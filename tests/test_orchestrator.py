@@ -522,3 +522,61 @@ def test_run_two_group_bucket_dir_staging(tmp_path):
     # Every real stage row in the resumed run is a skip.
     rows = [r.split("\t") for r in trace.strip().splitlines()[1:]]
     assert all(r[3] == "True" for r in rows if r[0] not in ("BUCKET_RESTORE",)), rows
+
+
+@pytest.mark.slow
+def test_batched_single_group_stage_matches_per_chromosome(tmp_path):
+    """With preprocessed counts for several chromosomes, the theta stage
+    runs ONCE as a vmapped ragged batch; its per-chromosome outputs must be
+    IDENTICAL to individual runs (the engine's t_limit masking is bit-exact
+    — test_t_limit_masking_matches_unbatched_run)."""
+    rng = np.random.default_rng(4)
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    lengths = {"ca": 120, "cb": 90}
+    for chrom, T in lengths.items():
+        n = rng.poisson(25, size=(T, 1)).astype(float)
+        y = np.minimum(rng.poisson(8, size=(T, 1)), n)
+        hio.write_count_matrix(pre / f"positions_{chrom}.txt.gz", np.arange(1, T + 1) * 11)
+        hio.write_count_matrix(pre / f"n_total_reads_control_{chrom}.txt.gz", n)
+        hio.write_count_matrix(pre / f"n_total_reads_case_{chrom}.txt.gz", n)
+        hio.write_count_matrix(pre / f"n_methylated_reads_control_{chrom}.txt.gz", y)
+        hio.write_count_matrix(
+            pre / f"n_methylated_reads_case_{chrom}.txt.gz", np.minimum(y + 3, n)
+        )
+
+    common = [
+        "run", "--two_group",
+        "--preprocessed_dir", str(pre),
+        "--batch_size", "120",
+        "--buffer_size", "10",
+        "--num_of_inference_seeds", "1",
+        "--num_resampled_particles", "6",
+        "--num_samples_backward", "8",
+        "--n_particles", "30",
+    ]
+    out_b = tmp_path / "batched"
+    cli_main(common + ["--output_dir", str(out_b), "--chroms", "ca,cb"])
+    trace_txt = (out_b / "trace.tsv").read_text()
+    assert "ESTIMATE_PARAMETERS_AND_REGIMES[batched]" in trace_txt
+
+    import gzip
+
+    for chrom in lengths:
+        out_i = tmp_path / f"indiv_{chrom}"
+        cli_main(common + ["--output_dir", str(out_i), "--chroms", chrom])
+        sgb = out_b / "2_ESTIMATE_PARAMETERS_AND_REGIMES" / chrom
+        sgi = out_i / "2_ESTIMATE_PARAMETERS_AND_REGIMES" / chrom
+        # theta (every resampling/ADAM decision) is BYTE-identical; the
+        # smoothing means drift at f32 reduction-order ulp under vmap
+        # (measured 3e-7 relative), so regime probabilities compare by value.
+        assert gzip.open(sgb / f"theta_{chrom}.csv.gz").read() == gzip.open(
+            sgi / f"theta_{chrom}.csv.gz"
+        ).read(), chrom
+        b = pd.read_csv(sgb / f"regime_probabilities_{chrom}.csv.gz")
+        i = pd.read_csv(sgi / f"regime_probabilities_{chrom}.csv.gz")
+        np.testing.assert_allclose(
+            b.to_numpy(float), i.to_numpy(float), rtol=1e-4, atol=1e-6
+        )
+        # Downstream results (theta-dependent) agree too.
+        assert (out_b / "6_GET_DMPS" / chrom / "dmp_0.05.csv").exists()

@@ -278,3 +278,60 @@ def test_chunked_engine_matches_and_resumes(tmp_path, monkeypatch):
         float(full.log_normalizing_constant),
         rtol=1e-12,
     )
+
+
+def test_t_limit_masking_matches_unbatched_run():
+    """Ragged batching support: a padded run with t_limit=T_u must be
+    BIT-IDENTICAL on the live prefix to an unbatched run of length T_u
+    (same key stream — the carry, including the RNG key, freezes past the
+    limit), with zero logZ contribution from the padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from hygeia_tpu.ops.emissions import emission_log_prob_table
+    from hygeia_tpu.single_group.engine import (
+        EngineConfig,
+        run_online_combined_inference,
+    )
+    from hygeia_tpu.single_group.model import make_model, parameters_to_theta
+
+    R, T_u, T_pad = 4, 70, 110
+    rng = np.random.default_rng(8)
+    mu = np.linspace(0.1, 0.9, R)
+    sigma = np.full(R, 0.1)
+    model = make_model(mu, sigma, 2, np.full(R, 2.0), d_max=256)
+    P0 = np.full((R, R), 1.0 / (R - 1))
+    np.fill_diagonal(P0, 0.0)
+    theta0 = jnp.asarray(parameters_to_theta(P0, np.full(R, 0.9)), jnp.float64)
+    n = rng.poisson(25, size=(T_pad, 2)).astype(np.float64)
+    y = np.minimum(rng.poisson(9, size=(T_pad, 2)), n)
+    E = emission_log_prob_table(y, n, model.alpha, model.beta, dtype=jnp.float64)
+    cfg = EngineConfig(
+        n_particles_max=40, estimate_parameters=True, estimate_regimes=True,
+        steps_per_update=20,
+    )
+    key = jax.random.PRNGKey(5)
+    ref = run_online_combined_inference(
+        key, model, theta0, E[:T_u], cfg, weight_dtype=jnp.float64
+    )
+    got = run_online_combined_inference(
+        key, model, theta0, E, cfg, weight_dtype=jnp.float64, t_limit=T_u
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.regime_probs)[:T_u], np.asarray(ref.regime_probs)
+    )
+    assert bool(np.all(np.asarray(got.regime_valid)[:T_u]))
+    np.testing.assert_array_equal(
+        np.asarray(got.theta_trace)[: T_u - 1],
+        np.asarray(ref.theta_trace)[: T_u - 1],
+    )
+    # Padding contributes EXACT zeros, but summing them changes the f64
+    # reduction tree by one ulp.
+    np.testing.assert_allclose(
+        np.asarray(got.log_normalizing_constant),
+        np.asarray(ref.log_normalizing_constant),
+        rtol=1e-12,
+    )
+    # Padding steps froze theta: the trace is constant past the limit.
+    tr = np.asarray(got.theta_trace)
+    assert np.all(tr[T_u - 1 :] == tr[T_u - 1])
