@@ -39,6 +39,7 @@ def main():
     from hygeia_tpu.pipeline.orchestrator import run_two_group
 
     T = int(os.environ.get("HYGEIA_PROD_T", 400_000))
+    n_chroms = int(os.environ.get("HYGEIA_PROD_CHROMS", 1))
     n_seeds = int(os.environ.get("HYGEIA_PROD_SEEDS", 2))
     blocks = int(os.environ.get("HYGEIA_PROD_BLOCKS", 16384))
     M = int(os.environ.get("HYGEIA_PROD_M", 50))
@@ -69,23 +70,30 @@ def main():
         split_prob=0.01, minimum_duration=3, d_max=T + 2,
     )
 
+    chrom_names = [f"c{21 + i}" for i in range(n_chroms)]
     t0 = time.perf_counter()
-    if not os.path.exists(os.path.join(pre, f"positions_c21.txt.gz")):
+    for ci, cname in enumerate(chrom_names):
+        if os.path.exists(os.path.join(pre, f"positions_{cname}.txt.gz")):
+            continue
         n_c = rng.poisson(30, size=(T, S)).astype(np.float32)
         n_k = rng.poisson(30, size=(T, S)).astype(np.float32)
-        sim = simulate(jax.random.PRNGKey(1), params, n_c, n_k)
+        sim = simulate(jax.random.PRNGKey(1 + ci), params, n_c, n_k)
         hio.write_count_matrix(
-            os.path.join(pre, "positions_c21.txt.gz"),
+            os.path.join(pre, f"positions_{cname}.txt.gz"),
             np.arange(1, T + 1, dtype=np.int64) * 37,
         )
-        hio.write_count_matrix(os.path.join(pre, "n_total_reads_control_c21.txt.gz"), n_c)
-        hio.write_count_matrix(os.path.join(pre, "n_total_reads_case_c21.txt.gz"), n_k)
         hio.write_count_matrix(
-            os.path.join(pre, "n_methylated_reads_control_c21.txt.gz"),
+            os.path.join(pre, f"n_total_reads_control_{cname}.txt.gz"), n_c
+        )
+        hio.write_count_matrix(
+            os.path.join(pre, f"n_total_reads_case_{cname}.txt.gz"), n_k
+        )
+        hio.write_count_matrix(
+            os.path.join(pre, f"n_methylated_reads_control_{cname}.txt.gz"),
             np.asarray(sim.obs_control),
         )
         hio.write_count_matrix(
-            os.path.join(pre, "n_methylated_reads_case_c21.txt.gz"),
+            os.path.join(pre, f"n_methylated_reads_case_{cname}.txt.gz"),
             np.asarray(sim.obs_case),
         )
         del sim
@@ -100,7 +108,7 @@ def main():
         t0 = time.perf_counter()
         run_two_group(
             output_dir=out_l,
-            chroms=["c21"],
+            chroms=chrom_names,
             preprocessed_dir=pre,
             mu=MU,
             sigma=SIGMA,
@@ -140,12 +148,13 @@ def main():
             json.dumps(
                 {
                     "metric": f"pipeline_end_to_end_{label}",
-                    "sites": T,
+                    "chroms": n_chroms,
+                    "sites": T * n_chroms,
                     "seeds": n_seeds,
                     "wall_s": round(pipe_s, 1),
-                    "sites_per_sec": round(T / pipe_s, 1),
-                    "unit_sites_per_sec": round(T * n_seeds / pipe_s, 1),
-                    "vs_cpu_233": round(T / pipe_s / 233.0, 1),
+                    "sites_per_sec": round(T * n_chroms / pipe_s, 1),
+                    "unit_sites_per_sec": round(T * n_chroms * n_seeds / pipe_s, 1),
+                    "vs_cpu_233": round(T * n_chroms / pipe_s / 233.0, 1),
                     "dir": root,
                 }
             ),
