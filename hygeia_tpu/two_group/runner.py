@@ -493,136 +493,142 @@ def infer_chromosome_streamed(
 
     _io_pool = ThreadPoolExecutor(max_workers=2)
     io_futures = []
+    try:
 
-    for M in num_resampled_particles:
-        N = M * (2 * R + R * R)
-        for t_w, group_batches in sorted(groups.items()):
-            params = make_params(
-                mu=mu,
-                sigma=sigma,
-                p_softmax_control=p_softmax,
-                omega_logit_control=omega_logit_control,
-                omega_case=omega_case,
-                kappa_control=np.full(R, 2.0),
-                kappa_case=np.full(R, 2.0),
-                merge_log_prob=merge_log_prob,
-                split_prob=split_prob,
-                minimum_duration=minimum_duration,
-                d_max=max(64, t_w + 1),
-            )
-            emis = {}
-            for b in group_batches:
-                c = wins[b][2]
-                if robust:
-                    from hygeia_tpu.ops.emissions import (
-                        robust_emission_log_prob_table,
-                    )
-
-                    emis[b] = (
-                        robust_emission_log_prob_table(
-                            c["n_meth_control"], c["n_total_control"],
-                            params.alpha, params.beta, robust_beta,
-                        ),
-                        robust_emission_log_prob_table(
-                            c["n_meth_case"], c["n_total_case"],
-                            params.alpha, params.beta, robust_beta,
-                        ),
-                    )
-                else:
-                    emis[b] = (
-                        emission_log_prob_table(
-                            c["n_meth_control"], c["n_total_control"],
-                            params.alpha, params.beta,
-                        ),
-                        emission_log_prob_table(
-                            c["n_meth_case"], c["n_total_case"],
-                            params.alpha, params.beta,
-                        ),
-                    )
-
-            units = [(b, s) for b in group_batches for s in seeds]
-            per_unit = min(t_w, W) * N * 34
-            units_per_call = max(1, int(hbm_budget // max(per_unit, 1)))
-            if max_units_per_call is not None:
-                units_per_call = min(units_per_call, int(max_units_per_call))
-
-            for c0 in range(0, len(units), units_per_call):
-                chunk = units[c0 : c0 + units_per_call]
-                # Pad a short final chunk back to the full vmap width by
-                # repeating its last unit (outputs dropped below): every
-                # distinct width S re-traces AND re-queries the remote
-                # compile service — 5-40 min when congested (CLAUDE.md
-                # rule 6/6b) — which costs far more than the wasted lanes.
-                n_pad = 0
-                if len(chunk) < units_per_call and c0 > 0:
-                    n_pad = units_per_call - len(chunk)
-                    chunk = chunk + [chunk[-1]] * n_pad
-                keys = jnp.stack([jax.random.PRNGKey(s) for _, s in chunk])
-                E_c_u = jnp.stack([emis[b][0] for b, _ in chunk])
-                E_k_u = jnp.stack([emis[b][1] for b, _ in chunk])
-                t0 = time.time()
-                traj_np, log_z_v, degen_v = streamed_inference(
-                    keys, params, E_c_u, E_k_u, M, B,
-                    block_size=W,
-                    multinomial=multinomial,
-                    weight_dtype=weight_dtype,
+        for M in num_resampled_particles:
+            N = M * (2 * R + R * R)
+            for t_w, group_batches in sorted(groups.items()):
+                params = make_params(
+                    mu=mu,
+                    sigma=sigma,
+                    p_softmax_control=p_softmax,
+                    omega_logit_control=omega_logit_control,
+                    omega_case=omega_case,
+                    kappa_control=np.full(R, 2.0),
+                    kappa_case=np.full(R, 2.0),
+                    merge_log_prob=merge_log_prob,
+                    split_prob=split_prob,
+                    minimum_duration=minimum_duration,
+                    d_max=max(64, t_w + 1),
                 )
-                t_chunk = time.time() - t0
-                if n_pad:
-                    chunk = chunk[: len(chunk) - n_pad]
-                split_v, regime_v = _traj_functionals_np(traj_np, R)
-                for i, (b, s) in enumerate(chunk):
-                    d = int(degen_v[i])
-                    if d:
-                        print(
-                            f"WARNING: batch {b} seed {s}: {d} degenerate "
-                            "filter steps"
+                emis = {}
+                for b in group_batches:
+                    c = wins[b][2]
+                    if robust:
+                        from hygeia_tpu.ops.emissions import (
+                            robust_emission_log_prob_table,
                         )
-                    _, ret, _, path = wins[b]
-                    traj = traj_np[i]
-                    # Archive writes ride a small thread pool so the zlib
-                    # compression (which releases the GIL) overlaps the next
-                    # chunk's device dispatch/pull (~1 s x 3 archives x unit
-                    # on the 2-core host otherwise serialises after every
-                    # chunk). Joined before the flags files below.
-                    io_futures.append(_io_pool.submit(
-                        savez_fast,
-                        os.path.join(
-                            path,
-                            f"optimal_backward_particles_merged_state_{N}_{s}",
-                        ),
-                        traj[:, :, 0].astype(np.int16)[ret],
-                    ))
-                    io_futures.append(_io_pool.submit(
-                        savez_fast,
-                        os.path.join(
-                            path,
-                            f"optimal_backward_particles_control_state_{N}_{s}",
-                        ),
-                        traj[:, :, 1:3].astype(np.int32)[ret],
-                    ))
-                    io_futures.append(_io_pool.submit(
-                        savez_fast,
-                        os.path.join(
-                            path,
-                            f"optimal_backward_particles_case_state_{N}_{s}",
-                        ),
-                        traj[:, :, 3:5].astype(np.int32)[ret],
-                    ))
-                    savez_fast(
-                        os.path.join(path, f"optimal_split_probs_{N}_{s}"),
-                        split_v[i],
-                    )
-                    savez_fast(
-                        os.path.join(path, f"optimal_regime_probs_{N}_{s}"),
-                        regime_v[i],
-                    )
-                    all_log_norm[b][s][N] = float(log_z_v[i])
-                    times[b][s][N] = t_chunk / len(chunk)
 
+                        emis[b] = (
+                            robust_emission_log_prob_table(
+                                c["n_meth_control"], c["n_total_control"],
+                                params.alpha, params.beta, robust_beta,
+                            ),
+                            robust_emission_log_prob_table(
+                                c["n_meth_case"], c["n_total_case"],
+                                params.alpha, params.beta, robust_beta,
+                            ),
+                        )
+                    else:
+                        emis[b] = (
+                            emission_log_prob_table(
+                                c["n_meth_control"], c["n_total_control"],
+                                params.alpha, params.beta,
+                            ),
+                            emission_log_prob_table(
+                                c["n_meth_case"], c["n_total_case"],
+                                params.alpha, params.beta,
+                            ),
+                        )
+
+                units = [(b, s) for b in group_batches for s in seeds]
+                per_unit = min(t_w, W) * N * 34
+                units_per_call = max(1, int(hbm_budget // max(per_unit, 1)))
+                if max_units_per_call is not None:
+                    units_per_call = min(units_per_call, int(max_units_per_call))
+
+                for c0 in range(0, len(units), units_per_call):
+                    chunk = units[c0 : c0 + units_per_call]
+                    # Pad a short final chunk back to the full vmap width by
+                    # repeating its last unit (outputs dropped below): every
+                    # distinct width S re-traces AND re-queries the remote
+                    # compile service — 5-40 min when congested (CLAUDE.md
+                    # rule 6/6b) — which costs far more than the wasted lanes.
+                    n_pad = 0
+                    if len(chunk) < units_per_call and c0 > 0:
+                        n_pad = units_per_call - len(chunk)
+                        chunk = chunk + [chunk[-1]] * n_pad
+                    keys = jnp.stack([jax.random.PRNGKey(s) for _, s in chunk])
+                    E_c_u = jnp.stack([emis[b][0] for b, _ in chunk])
+                    E_k_u = jnp.stack([emis[b][1] for b, _ in chunk])
+                    t0 = time.time()
+                    traj_np, log_z_v, degen_v = streamed_inference(
+                        keys, params, E_c_u, E_k_u, M, B,
+                        block_size=W,
+                        multinomial=multinomial,
+                        weight_dtype=weight_dtype,
+                    )
+                    t_chunk = time.time() - t0
+                    if n_pad:
+                        chunk = chunk[: len(chunk) - n_pad]
+                    split_v, regime_v = _traj_functionals_np(traj_np, R)
+                    for i, (b, s) in enumerate(chunk):
+                        d = int(degen_v[i])
+                        if d:
+                            print(
+                                f"WARNING: batch {b} seed {s}: {d} degenerate "
+                                "filter steps"
+                            )
+                        _, ret, _, path = wins[b]
+                        traj = traj_np[i]
+                        # Archive writes ride a small thread pool so the zlib
+                        # compression (which releases the GIL) overlaps the next
+                        # chunk's device dispatch/pull (~1 s x 3 archives x unit
+                        # on the 2-core host otherwise serialises after every
+                        # chunk). Joined before the flags files below.
+                        io_futures.append(_io_pool.submit(
+                            savez_fast,
+                            os.path.join(
+                                path,
+                                f"optimal_backward_particles_merged_state_{N}_{s}",
+                            ),
+                            traj[:, :, 0].astype(np.int16)[ret],
+                        ))
+                        io_futures.append(_io_pool.submit(
+                            savez_fast,
+                            os.path.join(
+                                path,
+                                f"optimal_backward_particles_control_state_{N}_{s}",
+                            ),
+                            traj[:, :, 1:3].astype(np.int32)[ret],
+                        ))
+                        io_futures.append(_io_pool.submit(
+                            savez_fast,
+                            os.path.join(
+                                path,
+                                f"optimal_backward_particles_case_state_{N}_{s}",
+                            ),
+                            traj[:, :, 3:5].astype(np.int32)[ret],
+                        ))
+                        savez_fast(
+                            os.path.join(path, f"optimal_split_probs_{N}_{s}"),
+                            split_v[i],
+                        )
+                        savez_fast(
+                            os.path.join(path, f"optimal_regime_probs_{N}_{s}"),
+                            regime_v[i],
+                        )
+                        all_log_norm[b][s][N] = float(log_z_v[i])
+                        times[b][s][N] = t_chunk / len(chunk)
+
+    finally:
+        # Join/shut the writer pool even when an attempt raises (the
+        # orchestrator retries the whole unit; a leaked executor per
+        # attempt would pile up threads). Success still surfaces any
+        # writer exception below.
+        _io_pool.shutdown(wait=True)
     for f in io_futures:
         f.result()  # surface any writer exception before declaring success
-    _io_pool.shutdown()
 
     for batch, (t_w, ret, counts, path) in wins.items():
         flags = {
