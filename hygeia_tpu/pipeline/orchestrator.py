@@ -316,10 +316,10 @@ def run_two_group(
 
             def _sg_batched(attempt):
                 _single_group_on_counts_batched(
-                    Path(preprocessed_dir),
-                    sg_root,
-                    pending,
-                    group="control",
+                    [
+                        (Path(preprocessed_dir), sg_root / str(c), c, "control")
+                        for c in pending
+                    ],
                     mu=mu,
                     sigma=sigma,
                     u=u,
@@ -650,15 +650,15 @@ def _sg_engine_program(R, u, kappa_fixed, d_max, cfg, batched=False):
     if batched:
         # vmapped ragged chromosomes (see _single_group_on_counts_batched).
         @jax.jit
-        def run(keys, alpha, beta, kappa0, theta_init, Es, t_limits):
+        def run(keys, alpha, beta, kappa0, theta_inits, Es, t_limits):
             model = _model(alpha, beta, kappa0)
 
-            def one(key, E, tl):
+            def one(key, th, E, tl):
                 return run_online_combined_inference(
-                    key, model, theta_init, E, cfg, t_limit=tl
+                    key, model, th, E, cfg, t_limit=tl
                 )
 
-            return jax.vmap(one)(keys, Es, t_limits)
+            return jax.vmap(one)(keys, theta_inits, Es, t_limits)
 
     else:
 
@@ -794,11 +794,8 @@ def _write_sg_outputs(sg_dir, chrom, positions, probs, trace, R, kappa):
 
 
 def _single_group_on_counts_batched(
-    pre_dir,
-    sg_root,
-    chroms,
+    units,  # [(pre_dir, sg_dir, chrom, group)]
     *,
-    group,
     mu,
     sigma,
     u,
@@ -808,6 +805,9 @@ def _single_group_on_counts_batched(
     learning_rate_exponent,
     learning_rate_factor,
     rng_seed,
+    estimate_parameters=True,
+    estimate_regimes=True,
+    theta_fixed=None,  # optional [(D,) per unit] — module-3 fixed-theta pass
 ):
     """ESTIMATE_PARAMETERS_AND_REGIMES for SEVERAL chromosomes in ONE
     vmapped device program (ragged lengths via the engine's t_limit
@@ -830,25 +830,42 @@ def _single_group_on_counts_batched(
     from hygeia_tpu.single_group.engine import EngineConfig
     from hygeia_tpu.utils import io as hio
 
-    pre_dir = Path(pre_dir)
     R = len(mu)
+    U = len(units)
     kappa = np.full(R, 2.0)
     model = make_model(np.asarray(mu), np.asarray(sigma), u, kappa, d_max=4096)
     cfg = EngineConfig(
         n_particles_max=n_particles,
         epsilon=epsilon,
-        estimate_regimes=True,
-        estimate_parameters=True,
+        estimate_regimes=estimate_regimes,
+        estimate_parameters=estimate_parameters,
         steps_per_update=steps_per_update,
         learning_rate_exponent=learning_rate_exponent,
         learning_rate_factor=learning_rate_factor,
     )
-    theta_init = np.asarray(
-        jax.random.normal(jax.random.PRNGKey(rng_seed), (model.dim_theta,))
-    )
+    if theta_fixed is not None:
+        thetas = np.stack([np.asarray(t) for t in theta_fixed])
+    elif estimate_parameters:
+        thetas = np.broadcast_to(
+            np.asarray(
+                jax.random.normal(
+                    jax.random.PRNGKey(rng_seed), (model.dim_theta,)
+                )
+            ),
+            (U, model.dim_theta),
+        )
+    else:
+        from hygeia_tpu.single_group.runner import default_p, DEFAULT_OMEGA
+        from hygeia_tpu.single_group.model import parameters_to_theta
+
+        thetas = np.broadcast_to(
+            parameters_to_theta(default_p(R), np.asarray(DEFAULT_OMEGA[:R]), kappa),
+            (U, model.dim_theta),
+        )
 
     tables, t_limits, positions_all = [], [], []
-    for chrom in chroms:
+    for pre_dir, _sg, chrom, group in units:
+        pre_dir = Path(pre_dir)
         n_total = hio.read_count_matrix(
             pre_dir / f"n_total_reads_{group}_{chrom}.txt.gz"
         )
@@ -867,7 +884,7 @@ def _single_group_on_counts_batched(
         )
         t_limits.append(tables[-1].shape[0])
     t_max = max(t_limits)
-    E = np.zeros((len(chroms), t_max, R), np.float32)
+    E = np.zeros((U, t_max, R), np.float32)
     for i, tab in enumerate(tables):
         E[i, : tab.shape[0]] = tab  # zero rows past the limit are masked
 
@@ -876,25 +893,26 @@ def _single_group_on_counts_batched(
         batched=True,
     )
     keys = jnp.stack(
-        [jax.random.PRNGKey(rng_seed)] * len(chroms)
-    )  # same key per chromosome, matching the sequential path exactly
+        [jax.random.PRNGKey(rng_seed)] * U
+    )  # same key per unit, matching the sequential path exactly
     res = prog(
         keys,
         model.alpha,
         model.beta,
         model.kappa0,
-        jnp.asarray(theta_init, jnp.float32),
+        jnp.asarray(thetas, jnp.float32),
         jnp.asarray(E),
         jnp.asarray(t_limits, jnp.int32),
     )
     probs = np.asarray(res.regime_probs)
     traces = np.asarray(res.theta_trace)
-    for i, chrom in enumerate(chroms):
-        sg_dir = Path(sg_root) / str(chrom)
+    for i, (_pre, sg_dir, chrom, _g) in enumerate(units):
+        sg_dir = Path(sg_dir)
         sg_dir.mkdir(parents=True, exist_ok=True)
         T_u = t_limits[i]
         _write_sg_outputs(
-            sg_dir, chrom, positions_all[i], probs[i, :T_u],
+            sg_dir, chrom, positions_all[i],
+            probs[i, :T_u] if estimate_regimes else None,
             traces[i, : T_u - 1], R, kappa,
         )
 
@@ -1002,6 +1020,66 @@ def run_single_group(
         for sample_id, pre_dir in samples:
             for chrom in chroms:
                 units.append((sample_id, chrom, Path(pre_dir), group))
+
+    # Batched pre-passes over the whole (sample x chrom) grid: the theta
+    # chains are sequential and latency-bound, so one vmapped ragged program
+    # per pass fills the chip (see the two-group batched stage; engine
+    # t_limit masking keeps per-unit outputs identical). Failures leave
+    # markers unset and fall through to the per-unit path below.
+    sg_kw = dict(
+        mu=mu, sigma=sigma, u=u, n_particles=n_particles, epsilon=epsilon,
+        steps_per_update=n_steps_without_parameter_update,
+        learning_rate_exponent=learning_rate_exponent,
+        learning_rate_factor=learning_rate_factor, rng_seed=rng_seed,
+    )
+    if len(units) > 1:
+        est_dir_of = lambda sid, ch: out / "2_ESTIMATE_PARAMETERS" / sid / str(ch)
+        reg_dir_of = lambda sid, ch: out / "3_ESTIMATE_REGIMES" / sid / str(ch)
+        pending1 = [
+            (pre, est_dir_of(sid, ch), ch, grp)
+            for sid, ch, pre, grp in units
+            if _stage(est_dir_of(sid, ch), resume)
+        ]
+        if len(pending1) > 1:
+
+            def _est_batched(attempt):
+                _single_group_on_counts_batched(
+                    pending1, estimate_parameters=True,
+                    estimate_regimes=False, **sg_kw,
+                )
+                for _pre, d, _c, _g in pending1:
+                    _finish(d)
+
+            _attempt(
+                _est_batched, trace=trace,
+                stage="ESTIMATE_PARAMETERS[batched]",
+                chrom=f"{len(pending1)} units", max_retries=1,
+            )
+        pending2 = []
+        theta2 = []
+        from hygeia_tpu.utils import io as hio
+
+        for sid, ch, pre, grp in units:
+            est_d, reg_d = est_dir_of(sid, ch), reg_dir_of(sid, ch)
+            theta_file = est_d / f"theta_{ch}.csv.gz"
+            if _stage(reg_d, resume) and theta_file.exists():
+                pending2.append((pre, reg_d, ch, grp))
+                theta2.append(hio.read_theta(theta_file))
+        if len(pending2) > 1:
+
+            def _reg_batched(attempt):
+                _single_group_on_counts_batched(
+                    pending2, estimate_parameters=False,
+                    estimate_regimes=True, theta_fixed=theta2, **sg_kw,
+                )
+                for _pre, d, _c, _g in pending2:
+                    _finish(d)
+
+            _attempt(
+                _reg_batched, trace=trace,
+                stage="ESTIMATE_REGIMES[batched]",
+                chrom=f"{len(pending2)} units", max_retries=1,
+            )
 
     for sample_id, chrom, pre_dir, grp in units:
         unit_tag = f"{sample_id}:{chrom}"

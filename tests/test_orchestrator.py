@@ -580,3 +580,60 @@ def test_batched_single_group_stage_matches_per_chromosome(tmp_path):
         )
         # Downstream results (theta-dependent) agree too.
         assert (out_b / "6_GET_DMPS" / chrom / "dmp_0.05.csv").exists()
+
+
+@pytest.mark.slow
+def test_batched_single_group_passes_match_per_unit(tmp_path):
+    """run_single_group with several (sample x chrom) units runs BOTH engine
+    passes as vmapped ragged batches; theta files must be byte-identical to
+    per-unit runs and regime probabilities equal to f32 reduction ulp."""
+    import gzip
+
+    from hygeia_tpu.pipeline.orchestrator import run_single_group
+
+    rng = np.random.default_rng(9)
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    lengths = {"c1": 140, "c2": 100}
+    for chrom, T in lengths.items():
+        n = np.full((T, 2), 25.0)
+        y = np.minimum(rng.poisson(8, size=(T, 2)), n)
+        hio.write_count_matrix(pre / f"positions_{chrom}.txt.gz", np.arange(1, T + 1) * 19)
+        hio.write_count_matrix(pre / f"n_total_reads_case_{chrom}.txt.gz", n)
+        hio.write_count_matrix(pre / f"n_methylated_reads_case_{chrom}.txt.gz", y)
+
+    kw = dict(
+        samples=[("s1", pre)],
+        mu=MU, sigma=SIGMA, u=2, n_particles=40,
+        n_steps_without_parameter_update=40,
+    )
+    out_b = tmp_path / "batched"
+    run_single_group(output_dir=out_b, chroms=list(lengths), **kw)
+    trace_txt = (out_b / "trace.tsv").read_text()
+    assert "ESTIMATE_PARAMETERS[batched]" in trace_txt
+    assert "ESTIMATE_REGIMES[batched]" in trace_txt
+
+    for chrom in lengths:
+        out_i = tmp_path / f"indiv_{chrom}"
+        run_single_group(output_dir=out_i, chroms=[chrom], **kw)
+        tb = gzip.open(
+            out_b / "2_ESTIMATE_PARAMETERS" / "s1" / chrom / f"theta_{chrom}.csv.gz"
+        ).read()
+        ti = gzip.open(
+            out_i / "2_ESTIMATE_PARAMETERS" / "s1" / chrom / f"theta_{chrom}.csv.gz"
+        ).read()
+        assert tb == ti, chrom
+        b = pd.read_csv(
+            out_b / "3_ESTIMATE_REGIMES" / "s1" / chrom
+            / f"regime_probabilities_{chrom}.csv.gz"
+        )
+        i = pd.read_csv(
+            out_i / "3_ESTIMATE_REGIMES" / "s1" / chrom
+            / f"regime_probabilities_{chrom}.csv.gz"
+        )
+        np.testing.assert_allclose(
+            b.to_numpy(float), i.to_numpy(float), rtol=1e-4, atol=1e-6
+        )
+        assert (
+            out_b / "4_SINGLE_GROUP_OUTPUT" / "s1" / f"s1_regimes_{chrom}.bed.gz"
+        ).exists()
