@@ -14,6 +14,8 @@ into an int gather — the TPU-idiomatic formulation.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 from hygeia_tpu.ops.distributions import beta_binomial_log_pmf
@@ -81,3 +83,24 @@ def robust_emission_log_prob_table(
     integral = jnp.exp(_lse((bd + 1.0) * lp_x, axis=0)) / (bd + 1.0)
     score = jnp.exp(bd * lp_y) / bd - integral  # (T, S, R)
     return jnp.sum(score, axis=1)  # (T, R)
+
+
+@functools.lru_cache(maxsize=None)
+def robust_emission_table_factory(beta_div: float):
+    """A STABLE function object per robust_beta value.
+
+    sharded.py keys its module-level program cache on the emission-table
+    function's identity; a fresh closure per call would defeat the cache
+    (one retrace + remote-compile-cache query per INFER call, ~15 s each —
+    CLAUDE.md rule 6b) and grow it unboundedly. lru_cache returns the same
+    callable for the same float, so robust meshed runs hit the cache."""
+
+    def fn(m, t, alpha, beta):
+        return robust_emission_log_prob_table(m, t, alpha, beta, beta_div)
+
+    # The robust table's support sum runs over x = 0..max(n)-1 with a
+    # DATA-DEPENDENT bound (int(jnp.max(n))) — it cannot be traced.
+    # sharded._tables_program checks this flag and builds the tables eagerly
+    # on concrete arrays instead of inside jit/vmap.
+    fn.needs_concrete = True
+    return fn

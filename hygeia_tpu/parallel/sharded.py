@@ -68,6 +68,22 @@ def make_block_windows(arr, segment_size, buffer_size, n_blocks):
 
 
 def _tables_program(emission_table_fn):
+    if getattr(emission_table_fn, "needs_concrete", False):
+        # Robust (beta-divergence) tables: the support-sum bound is
+        # int(max(n)) — data-dependent, so the build cannot run under
+        # jit/vmap tracing. Build per block on concrete arrays instead
+        # (one-off per chromosome; the XLA ops inside are still fused).
+        def tables(alpha, beta, mc, tc, mk, tk):
+            def f(m, t):
+                return jnp.stack(
+                    [emission_table_fn(m[i], t[i], alpha, beta)
+                     for i in range(m.shape[0])]
+                )
+
+            return f(mc, tc), f(mk, tk)
+
+        return tables
+
     @jax.jit
     def tables(alpha, beta, mc, tc, mk, tk):
         f = jax.vmap(lambda m, t: emission_table_fn(m, t, alpha, beta))

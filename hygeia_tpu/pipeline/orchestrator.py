@@ -309,6 +309,9 @@ def run_two_group(
     # t_limit masking makes ragged batching bit-identical per chromosome.
     # On failure the markers stay unset and the per-chromosome path below
     # handles each individually (retry/ignore semantics unchanged).
+    sg_batched_done: set = set()  # chroms completed by the batched pass
+    # (tracked in-process, not only via .done markers: with --no_resume the
+    # per-chromosome loop ignores markers and would re-run the stage twice).
     if preprocessed_dir is not None and len(chroms) > 1:
         sg_root = out / "2_ESTIMATE_PARAMETERS_AND_REGIMES"
         pending = [c for c in chroms if _stage(sg_root / str(c), resume)]
@@ -333,13 +336,14 @@ def run_two_group(
                 for c in pending:
                     _finish(sg_root / str(c))
 
-            _attempt(
+            if _attempt(
                 _sg_batched,
                 trace=trace,
                 stage="ESTIMATE_PARAMETERS_AND_REGIMES[batched]",
                 chrom=",".join(map(str, pending)),
                 max_retries=1,
-            )
+            ):
+                sg_batched_done.update(pending)
 
     for chrom in chroms:
         # ---- 1: preprocess ------------------------------------------------
@@ -364,7 +368,7 @@ def run_two_group(
         # (modules/two_group/2_estimate_parameters_and_regimes.nf:39-52 runs
         # the engine on control reads with both estimation flags).
         sg_dir = out / "2_ESTIMATE_PARAMETERS_AND_REGIMES" / str(chrom)
-        if _stage(sg_dir, resume):
+        if chrom not in sg_batched_done and _stage(sg_dir, resume):
 
             def _sg_stage(attempt):
                 _single_group_on_counts(
@@ -1032,6 +1036,8 @@ def run_single_group(
         learning_rate_exponent=learning_rate_exponent,
         learning_rate_factor=learning_rate_factor, rng_seed=rng_seed,
     )
+    est_batched_done: set = set()  # dirs completed by the batched passes
+    reg_batched_done: set = set()  # (in-process: --no_resume ignores markers)
     if len(units) > 1:
         est_dir_of = lambda sid, ch: out / "2_ESTIMATE_PARAMETERS" / sid / str(ch)
         reg_dir_of = lambda sid, ch: out / "3_ESTIMATE_REGIMES" / sid / str(ch)
@@ -1050,11 +1056,12 @@ def run_single_group(
                 for _pre, d, _c, _g in pending1:
                     _finish(d)
 
-            _attempt(
+            if _attempt(
                 _est_batched, trace=trace,
                 stage="ESTIMATE_PARAMETERS[batched]",
                 chrom=f"{len(pending1)} units", max_retries=1,
-            )
+            ):
+                est_batched_done.update(d for _pre, d, _c, _g in pending1)
         pending2 = []
         theta2 = []
         from hygeia_tpu.utils import io as hio
@@ -1075,18 +1082,19 @@ def run_single_group(
                 for _pre, d, _c, _g in pending2:
                     _finish(d)
 
-            _attempt(
+            if _attempt(
                 _reg_batched, trace=trace,
                 stage="ESTIMATE_REGIMES[batched]",
                 chrom=f"{len(pending2)} units", max_retries=1,
-            )
+            ):
+                reg_batched_done.update(d for _pre, d, _c, _g in pending2)
 
     for sample_id, chrom, pre_dir, grp in units:
         unit_tag = f"{sample_id}:{chrom}"
 
         # Pass 1: parameter estimation (module 2).
         est_dir = out / "2_ESTIMATE_PARAMETERS" / sample_id / str(chrom)
-        if _stage(est_dir, resume):
+        if est_dir not in est_batched_done and _stage(est_dir, resume):
 
             def _est_stage(attempt):
                 _single_group_on_counts(
@@ -1110,7 +1118,7 @@ def run_single_group(
 
         # Pass 2: regime estimation with the learned parameters (module 3).
         reg_dir = out / "3_ESTIMATE_REGIMES" / sample_id / str(chrom)
-        if _stage(reg_dir, resume):
+        if reg_dir not in reg_batched_done and _stage(reg_dir, resume):
 
             def _reg_stage(attempt):
                 from hygeia_tpu.utils import io as hio

@@ -763,10 +763,12 @@ def infer_chromosome_meshed(
     )
     emission_table_fn = None
     if robust:
-        from hygeia_tpu.ops.emissions import robust_emission_log_prob_table
+        # Stable per-beta function object: sharded.py caches programs keyed
+        # on this identity (a fresh closure per call would retrace every
+        # robust INFER and leak one cache entry per call).
+        from hygeia_tpu.ops.emissions import robust_emission_table_factory
 
-        def emission_table_fn(m, t, alpha, beta):
-            return robust_emission_log_prob_table(m, t, alpha, beta, robust_beta)
+        emission_table_fn = robust_emission_table_factory(float(robust_beta))
 
     seeds = [seed] if np.isscalar(seed) else list(seed)
     n_batches = 1 + T // segment_size

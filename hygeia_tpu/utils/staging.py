@@ -36,11 +36,36 @@ class WorkdirMirror:
         return posixpath.join(self.base, rel) if rel else self.base
 
     def restore(self, root: Path) -> int:
-        """Download the mirrored tree into `root` (skipping files already
-        present with the same size). Returns the number of files fetched."""
+        """Download the mirrored tree into `root`. Returns the number of
+        files fetched.
+
+        A local file is skipped only when its size matches the bucket copy
+        AND its stage directory carries a local `.done` marker — a stale or
+        partially-written local file of coincidentally equal size in an
+        unfinished stage must not survive a bucket-restore resume (size
+        alone can't detect it; bucket mtimes aren't comparable to local
+        ones across backends, so the completion marker is the trust signal).
+        Markers are snapshotted before any fetch, and files outside marked
+        stage dirs are conservatively always re-fetched.
+        """
         root = Path(root)
         if not self.fs.exists(self.base):
             return 0
+
+        # Snapshot the locally-completed stages BEFORE fetching anything:
+        # the bucket also mirrors `.done` markers, and restoring one ahead of
+        # its stage's files would re-establish trust mid-restore.
+        done_dirs = {p.parent for p in root.rglob(".done")} if root.is_dir() else set()
+
+        def _stage_done_locally(dst: Path) -> bool:
+            d = dst.parent
+            while True:
+                if d in done_dirs:
+                    return True
+                if d == root or d.parent == d:
+                    return False
+                d = d.parent
+
         fetched = 0
         for rpath in self.fs.find(self.base):
             rel = rpath[len(self.base) :].lstrip("/")
@@ -48,7 +73,11 @@ class WorkdirMirror:
                 continue
             dst = root / rel
             size = self.fs.info(rpath).get("size")
-            if dst.is_file() and dst.stat().st_size == size:
+            if (
+                dst.is_file()
+                and dst.stat().st_size == size
+                and _stage_done_locally(dst)
+            ):
                 st = dst.stat()
                 self._seen[rel] = (st.st_size, st.st_mtime)
                 continue

@@ -116,6 +116,33 @@ def test_fdr_procedures_reference_semantics():
     assert set(idx.tolist()) == {0, 1}
 
 
+def test_write_count_matrix_savetxt_byte_identity(tmp_path):
+    """write_count_matrix's claim (utils/io.py) is BYTE-identity with
+    np.savetxt(fmt="%s") after decompression — the property the stage-1
+    count/position files' reference parity rests on. Regression-guard it so
+    a pandas float-formatting change cannot silently alter outputs."""
+    import gzip
+    import io as _io
+
+    from hygeia_tpu.utils.io import write_count_matrix
+
+    rng = np.random.default_rng(3)
+    f32 = np.round(
+        rng.random((200, 3)) * rng.integers(1, 50, (200, 3)), 3
+    ).astype(np.float32)
+    f32[0, 0] = 0.0
+    f32[1, 1] = 17.0  # integral-valued float
+    i64 = rng.integers(0, 2**40, (150,)).astype(np.int64)
+    for name, arr in (("f32", f32), ("i64", i64)):
+        p = tmp_path / f"{name}.txt.gz"
+        write_count_matrix(p, arr)
+        with gzip.open(p, "rb") as f:
+            got = f.read()
+        buf = _io.BytesIO()
+        np.savetxt(buf, arr if arr.ndim > 1 else arr[:, None], fmt="%s", delimiter=",")
+        assert got == buf.getvalue(), f"{name}: bytes differ from np.savetxt"
+
+
 def test_approximate_log_normalizing_constant_replicates():
     from hygeia_tpu.single_group.runner import approximate_log_normalizing_constant
 

@@ -524,6 +524,53 @@ def test_run_two_group_bucket_dir_staging(tmp_path):
     assert all(r[3] == "True" for r in rows if r[0] not in ("BUCKET_RESTORE",)), rows
 
 
+def test_batched_theta_not_rerun_without_resume(tmp_path, monkeypatch):
+    """With --no_resume (resume=False), the per-chromosome loop ignores .done
+    markers — the batched theta pre-pass must still be honoured in-process so
+    the stage doesn't silently execute twice per run (advisor round-4 low)."""
+    from hygeia_tpu.pipeline import orchestrator as orch
+
+    sequential_calls = []
+    real = orch._single_group_on_counts
+    monkeypatch.setattr(
+        orch,
+        "_single_group_on_counts",
+        lambda *a, **k: (sequential_calls.append(a), real(*a, **k)),
+    )
+
+    rng = np.random.default_rng(12)
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    for chrom, T in (("ca", 90), ("cb", 70)):
+        n = rng.poisson(25, size=(T, 1)).astype(float)
+        y = np.minimum(rng.poisson(8, size=(T, 1)), n)
+        hio.write_count_matrix(pre / f"positions_{chrom}.txt.gz", np.arange(1, T + 1) * 11)
+        hio.write_count_matrix(pre / f"n_total_reads_control_{chrom}.txt.gz", n)
+        hio.write_count_matrix(pre / f"n_total_reads_case_{chrom}.txt.gz", n)
+        hio.write_count_matrix(pre / f"n_methylated_reads_control_{chrom}.txt.gz", y)
+        hio.write_count_matrix(
+            pre / f"n_methylated_reads_case_{chrom}.txt.gz", np.minimum(y + 3, n)
+        )
+
+    orch.run_two_group(
+        output_dir=tmp_path / "out",
+        chroms=["ca", "cb"],
+        preprocessed_dir=pre,
+        segment_size=90,
+        buffer_size=10,
+        inference_seeds=(0,),
+        num_resampled_particles=6,
+        num_samples_backward=8,
+        n_particles_single_group=30,
+        resume=False,
+    )
+    trace_txt = (tmp_path / "out" / "trace.tsv").read_text()
+    assert "ESTIMATE_PARAMETERS_AND_REGIMES[batched]" in trace_txt
+    # The sequential per-chromosome theta stage never ran: the batched pass
+    # covered both chromosomes even though resume markers are being ignored.
+    assert not sequential_calls
+
+
 @pytest.mark.slow
 def test_batched_single_group_stage_matches_per_chromosome(tmp_path):
     """With preprocessed counts for several chromosomes, the theta stage

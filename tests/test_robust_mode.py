@@ -126,6 +126,48 @@ def _mode_recovery(results, true_ctrl, mask):
 
 
 @pytest.mark.slow
+def test_robust_meshed_infer(contaminated_dirs):
+    """Robust mode on the MESHED path (previously an untested combination —
+    the data-dependent support bound of the robust table broke under the
+    jitted/vmapped table program, and the per-call closure defeated the
+    program cache: both round-5 fixes). Two calls must reuse ONE cached
+    program and produce the standard file set."""
+    from hygeia_tpu.parallel import sharded
+    from hygeia_tpu.two_group.runner import infer_chromosome_meshed
+
+    root, data_dir, sg_dir, true_ctrl, mask = contaminated_dirs
+    results = root / "results_robust_meshed"
+    kw = dict(
+        data_dir=str(data_dir),
+        single_group_dir=str(sg_dir),
+        results_dir=str(results),
+        chrom="t",
+        mesh_shape=(2, 1),
+        seed=[0],
+        segment_size=100,
+        buffer_size=10,
+        mu=MU,
+        sigma=SIGMA,
+        minimum_duration=3,
+        num_resampled_particles=(6,),
+        num_samples_backward=8,
+        robust=True,
+        robust_beta=0.05,
+    )
+    infer_chromosome_meshed(**kw)
+    n_programs = len(sharded._PROGRAMS)
+    infer_chromosome_meshed(**kw)  # same robust_beta -> same cached program
+    assert len(sharded._PROGRAMS) == n_programs
+    n_bwd = 6 * (2 * R + R * R)
+    assert (
+        results / "chrom_t_0" / f"optimal_regime_probs_{n_bwd}_0.npz"
+    ).exists()
+    assert (
+        results / "chrom_t_1" / f"optimal_regime_probs_{n_bwd}_0.npz"
+    ).exists()
+
+
+@pytest.mark.slow
 def test_robust_mode_end_to_end(contaminated_dirs):
     root, data_dir, sg_dir, true_ctrl, mask = contaminated_dirs
     assert 10 <= mask.sum() <= 60
