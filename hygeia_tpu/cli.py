@@ -231,6 +231,33 @@ def build_parser():
                          "(reference-like) or exact ppermute boundary "
                          "messages")
 
+    # ---- warmup ------------------------------------------------------------
+    sp = sub.add_parser(
+        "warmup",
+        help="precompile the production-shape program set into the "
+             "persistent compile cache (run once per cache volume; gives "
+             "fresh runs the reference container's zero-compile-tax "
+             "property, modules/two_group/4_infer.nf:44-49)",
+    )
+    sp.add_argument("--n_sites", type=int, required=True,
+                    help="chromosome length to warm for (program shapes "
+                         "depend on it via the segment geometry)")
+    sp.add_argument("--samples_per_group", type=int, default=2)
+    sp.add_argument("--chroms", type=int, default=1,
+                    help="warm the multi-chromosome batched theta program "
+                         "too by using >1")
+    sp.add_argument("--cache_dir", default=None,
+                    help="JAX_COMPILATION_CACHE_DIR to populate (defaults "
+                         "to whatever the environment configured)")
+    sp.add_argument("--batch_size", type=int, default=100000)
+    sp.add_argument("--buffer_size", type=int, default=5000)
+    sp.add_argument("--num_of_inference_seeds", type=int, default=2)
+    sp.add_argument("--num_resampled_particles", type=int, default=50)
+    sp.add_argument("--num_samples_backward", type=int, default=25)
+    sp.add_argument("--n_particles", type=int, default=250)
+    sp.add_argument("--run_streaming_blocks", type=int, default=None)
+    sp.add_argument("--run_stream_batched", action="store_true")
+
     # ---- simulate_two_groups ----------------------------------------------
     sp = sub.add_parser("simulate_two_groups")
     sp.add_argument("--mu", type=_csv_floats, default=[0.95, 0.05, 0.80, 0.20, 0.50, 0.50])
@@ -485,6 +512,25 @@ def main(argv=None):
             bucket_dir=args.bucket_dir,
         )
         print(f"pipeline complete: {args.output_dir}")
+
+    elif verb == "warmup":
+        from hygeia_tpu.pipeline.warmup import warmup_two_group
+
+        wall = warmup_two_group(
+            n_sites=args.n_sites,
+            samples_per_group=args.samples_per_group,
+            chroms=args.chroms,
+            cache_dir=args.cache_dir,
+            segment_size=args.batch_size,
+            buffer_size=args.buffer_size,
+            inference_seeds=tuple(range(args.num_of_inference_seeds)),
+            num_resampled_particles=args.num_resampled_particles,
+            num_samples_backward=args.num_samples_backward,
+            n_particles_single_group=args.n_particles,
+            streaming_blocks=args.run_streaming_blocks,
+            stream_batched=args.run_stream_batched,
+        )
+        print(f"warmup complete in {wall:.1f}s — program set cached")
 
     elif verb == "simulate_two_groups":
         from hygeia_tpu.two_group.simulate_runner import simulate_two_groups

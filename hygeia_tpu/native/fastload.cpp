@@ -16,6 +16,7 @@
 #include <zlib.h>
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
@@ -137,5 +138,127 @@ int fastload_parse(void* handle, double* out, int64_t n_rows, int n_threads) {
 }
 
 void fastload_close(void* handle) { delete static_cast<LoadHandle*>(handle); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fast gzip CSV table WRITER (the aggregate stage's counterpart of the
+// loader above). pandas' to_csv formats every int through its Python-object
+// CSV path (~20 s for the nine ~400k x 51 per-chromosome tables at
+// production scale, profiled round 5); this writer formats rows with a
+// tight itoa and deflates per-thread row ranges as INDEPENDENT gzip
+// members (concatenated members are a valid gzip stream per RFC 1952 —
+// Python's gzip module and pandas read them transparently), so both the
+// formatting and the compression parallelise. Decompressed bytes are
+// identical to pandas' to_csv output for integer tables (asserted by
+// tests/test_pipeline.py::test_fastwrite_matches_pandas_to_csv).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline char* write_int(char* p, int64_t v) {
+  if (v < 0) {
+    *p++ = '-';
+    v = -v;
+  }
+  char tmp[20];
+  int n = 0;
+  do {
+    tmp[n++] = static_cast<char>('0' + (v % 10));
+    v /= 10;
+  } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+// Deflate `raw` as one complete gzip member.
+std::string gzip_member(const std::string& raw, int level) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8, Z_DEFAULT_STRATEGY) !=
+      Z_OK) {
+    return std::string();
+  }
+  std::string out;
+  out.resize(deflateBound(&zs, raw.size()) + 64);
+  zs.next_in = reinterpret_cast<Bytef*>(const_cast<char*>(raw.data()));
+  zs.avail_in = static_cast<uInt>(raw.size());
+  zs.next_out = reinterpret_cast<Bytef*>(&out[0]);
+  zs.avail_out = static_cast<uInt>(out.size());
+  int rc = deflate(&zs, Z_FINISH);
+  deflateEnd(&zs);
+  if (rc != Z_STREAM_END) return std::string();
+  out.resize(zs.total_out);
+  return out;
+}
+
+void format_rows(const int64_t* index, const int64_t* data, int64_t n_cols,
+                 int64_t row_begin, int64_t row_end, char sep, int level,
+                 std::string* out_member) {
+  std::string raw;
+  raw.reserve(static_cast<size_t>(row_end - row_begin) * (n_cols + 1) * 8);
+  std::vector<char> line((n_cols + 2) * 21 + 2);
+  for (int64_t r = row_begin; r < row_end; ++r) {
+    char* p = line.data();
+    if (index) {
+      p = write_int(p, index[r]);
+      *p++ = sep;
+    }
+    const int64_t* row = data + r * n_cols;
+    for (int64_t c = 0; c < n_cols; ++c) {
+      if (c) *p++ = sep;
+      p = write_int(p, row[c]);
+    }
+    *p++ = '\n';
+    raw.append(line.data(), static_cast<size_t>(p - line.data()));
+  }
+  *out_member = gzip_member(raw, level);  // empty = deflate failure
+}
+
+}  // namespace
+
+extern "C" {
+
+// Write an integer table as a gzip CSV: optional header line (verbatim,
+// '\n' appended), optional int64 index column, then (n_rows, n_cols) int64
+// values. Returns 0 on success.
+int fastwrite_table(const char* path, const char* header, const int64_t* index,
+                    const int64_t* data, int64_t n_rows, int64_t n_cols,
+                    char sep, int level, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  if (chunk < 1) chunk = 1;
+  std::vector<std::string> members(static_cast<size_t>(n_threads) + 1);
+  std::vector<int64_t> ranges(static_cast<size_t>(n_threads) + 1, 0);
+  if (header && header[0]) {
+    std::string h(header);
+    h.push_back('\n');
+    members[0] = gzip_member(h, level);
+    if (members[0].empty()) return 1;
+  }
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n_rows, lo + chunk);
+    if (lo >= hi) break;
+    ranges[static_cast<size_t>(t) + 1] = hi - lo;
+    workers.emplace_back(format_rows, index, data, n_cols, lo, hi, sep, level,
+                         &members[static_cast<size_t>(t) + 1]);
+  }
+  for (auto& w : workers) w.join();
+  for (size_t i = 1; i < members.size(); ++i) {
+    if (ranges[i] > 0 && members[i].empty()) return 1;  // deflate failed
+  }
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  for (auto& m : members) {
+    if (!m.empty() &&
+        std::fwrite(m.data(), 1, m.size(), f) != m.size()) {
+      std::fclose(f);
+      return 1;
+    }
+  }
+  return std::fclose(f) == 0 ? 0 : 1;
+}
 
 }  // extern "C"

@@ -56,8 +56,62 @@ def _get_lib():
     ]
     lib.fastload_close.restype = None
     lib.fastload_close.argtypes = [ctypes.c_void_p]
+    try:
+        lib.fastwrite_table.restype = ctypes.c_int
+        lib.fastwrite_table.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_char,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+    except AttributeError:
+        # Stale .so from before the writer existed; rebuild on demand.
+        pass
     _lib = lib
     return lib
+
+
+def write_int_table_gz(path, values, *, index=None, header=None, sep="\t",
+                       level=1, n_threads=None):
+    """Write an integer table as gzip CSV via the native writer
+    (fastwrite_table): per-thread row ranges are formatted with a tight
+    itoa and deflated as independent gzip members, so decompressed bytes
+    match pandas' to_csv for int tables at a fraction of the cost
+    (pandas' object-formatting CSV path measured ~20 s on the aggregate
+    stage's nine production tables).
+
+    Returns True on success; False if the native library is unavailable
+    (caller falls back to pandas)."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "fastwrite_table"):
+        return False
+    vals = np.ascontiguousarray(np.asarray(values), dtype=np.int64)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    n_rows, n_cols = vals.shape
+    idx_ptr = None
+    if index is not None:
+        idx = np.ascontiguousarray(np.asarray(index), dtype=np.int64)
+        if len(idx) != n_rows:
+            raise ValueError("index length mismatch")
+        idx_ptr = idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    rc = lib.fastwrite_table(
+        str(path).encode(),
+        header.encode() if header else None,
+        idx_ptr,
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_rows,
+        n_cols,
+        sep.encode(),
+        int(level),
+        n_threads or min(8, os.cpu_count() or 1),
+    )
+    return rc == 0
 
 
 def load_matrix(path, n_threads=None):

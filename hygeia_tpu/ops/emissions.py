@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 
 from hygeia_tpu.ops.distributions import beta_binomial_log_pmf
@@ -41,6 +42,16 @@ def emission_log_prob_table(n_methylated, n_total, alpha, beta, dtype=None):
     a = jnp.asarray(alpha, dtype)[None, None, :]  # (1, 1, R)
     b = jnp.asarray(beta, dtype)[None, None, :]
     return jnp.sum(beta_binomial_log_pmf(y, n, a, b), axis=1)  # (T, R)
+
+
+# Fused one-dispatch table build: the eager jnp chain above costs ~10
+# separate device dispatches (~30 ms tunnel round-trip each) per table when
+# called outside a jit — visible host overhead when the INFER stage builds
+# 2 tables per work unit (CLAUDE.md rule 5). Shape changes re-specialise
+# via jit's own cache; `dtype` is static.
+emission_log_prob_table_fused = jax.jit(
+    emission_log_prob_table, static_argnames=("dtype",)
+)
 
 
 def robust_emission_log_prob_table(

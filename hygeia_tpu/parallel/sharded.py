@@ -48,6 +48,7 @@ from hygeia_tpu.two_group.backward import (
     backward_simulation,
     backward_simulation_conditioned,
 )
+from hygeia_tpu.two_group.streaming import _fill_block, _pack_traj
 
 # (scheme, mesh, static cfg) -> {"tables": jit, "run": jit}
 _PROGRAMS = {}
@@ -123,7 +124,13 @@ def _halo_programs(
             B,
         )
         trimmed = traj[buffer_size : buffer_size + segment_size]
-        return trimmed, res.log_normalizing_constant
+        # Pack the trajectory D2H to 2 B/element (the streamed path's
+        # lesson: the tunnel moves ~21 MB/s and big int32 pulls serialize
+        # with compute). Durations are reconstructed host-side from the
+        # reset bits + the block's first-site durations (streaming.py
+        # _pack_traj/_fill_block round-trip contract).
+        d0 = trimmed[0][:, jnp.array([1, 3])]  # (B, 2) first-site durations
+        return _pack_traj(trimmed), d0, res.log_normalizing_constant
 
     @partial(
         shard_map,
@@ -134,7 +141,11 @@ def _halo_programs(
             P("genome"),
             P("genome", "seed"),  # keys
         ),
-        out_specs=(P("genome", "seed"), P("genome", "seed")),
+        out_specs=(
+            P("genome", "seed"),
+            P("genome", "seed"),
+            P("genome", "seed"),
+        ),
         # check_vma stays ON (the default): the cold-start carry promotion is
         # declared explicitly via vma_axes -> lax.pcast in run_filter.
     )
@@ -237,6 +248,7 @@ def sharded_two_group_inference(
     )(jnp.arange(n_blocks, dtype=jnp.uint32))  # (n_blocks, n_seeds, 2)
 
     B = num_samples_backward
+    assert params.n_regimes <= 31, "2-byte trajectory packing needs r < 32"
     progs = _halo_programs(
         mesh, params.n_regimes, params.min_duration, segment_size,
         buffer_size, num_resampled_ancestors, B,
@@ -246,11 +258,17 @@ def sharded_two_group_inference(
         params.alpha, params.beta, *[jnp.asarray(b) for b in blocks]
     )
     arrs = tuple(params[2:])
-    traj, log_z = progs["run"](arrs, e_c, e_k, keys)
-    # (n_blocks, n_seeds, seg, B, 5) -> (n_blocks*seg, n_seeds*B, 5)
-    traj = np.asarray(traj)
-    nb, ns, seg, b, _ = traj.shape
-    traj = traj.transpose(0, 2, 1, 3, 4).reshape(nb * seg, ns * b, 5)
+    packed, d0, log_z = progs["run"](arrs, e_c, e_k, keys)
+    # Packed pull (2 B/element vs 20) + host duration reconstruction,
+    # decoded straight into the final (n_blocks*seg, n_seeds*B, 5) layout
+    # through a strided view (no extra transpose copy of the int32 array).
+    packed = np.asarray(packed)  # (n_blocks, n_seeds, seg, B, 2) uint8
+    d0 = np.asarray(d0)  # (n_blocks, n_seeds, B, 2) int32
+    nb, ns, seg, b, _ = packed.shape
+    traj = np.empty((nb * seg, ns * b, 5), np.int32)
+    view = traj.reshape(nb, seg, ns, b, 5).transpose(0, 2, 1, 3, 4)
+    for blk in range(nb):
+        _fill_block(view[blk], packed[blk], d0[blk])
     return traj, np.asarray(log_z)
 
 
@@ -273,7 +291,11 @@ def _exchange_programs(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P("genome"), P("genome"), P("genome", "seed")),
-        out_specs=(P("genome", "seed"), P("genome", "seed")),
+        out_specs=(
+            P("genome", "seed"),
+            P("genome", "seed"),
+            P("genome", "seed"),
+        ),
     )
     def run_shard(arrs, e_c_blocks, e_k_blocks, key_blocks):
         params = TwoGroupParams(n_regimes, min_duration, *arrs)
@@ -344,11 +366,12 @@ def _exchange_programs(
             )
 
         traj = jax.vmap(back_two)(ks, res.log_weights, res.particles, recv_t)
-        # (spd, win, B, 5) -> (bpd, spd, segment_size, B, 5)
-        spd = traj.shape[0]
-        traj = traj.reshape(spd, bpd, segment_size, B, 5).transpose(1, 0, 2, 3, 4)
+        # Pack per contiguous device window (2 B/element D2H; durations
+        # reconstructed host-side per window via _fill_block).
+        packed = _pack_traj(traj)  # (spd, win, B, 2)
+        d0 = traj[:, 0][:, :, jnp.array([1, 3])]  # (spd, B, 2)
         log_z = res.log_normalizing_constant[None, :]  # (1, spd)
-        return traj, log_z
+        return packed[None], d0[None], log_z
 
     progs = {
         "tables": _tables_program(emission_table_fn),
@@ -425,6 +448,7 @@ def _exchange_two_group_inference(
         )(jnp.asarray(seeds, jnp.uint32))
     )(jnp.arange(n_blocks, dtype=jnp.uint32))  # (n_blocks, n_seeds, 2)
 
+    assert params.n_regimes <= 31, "2-byte trajectory packing needs r < 32"
     progs = _exchange_programs(
         mesh, params.n_regimes, params.min_duration, segment_size,
         int(warmup_size), M, B, jnp.dtype(weight_dtype).name,
@@ -434,8 +458,19 @@ def _exchange_two_group_inference(
         params.alpha, params.beta, *[jnp.asarray(b) for b in blocks]
     )
     arrs = tuple(params[2:])
-    traj, log_z = progs["run"](arrs, e_c, e_k, keys)
-    traj = np.asarray(traj)  # (n_blocks, n_seeds, seg, B, 5)
-    nb, ns, seg, b, _ = traj.shape
-    traj = traj.transpose(0, 2, 1, 3, 4).reshape(nb * seg, ns * b, 5)
+    packed, d0, log_z = progs["run"](arrs, e_c, e_k, keys)
+    # (n_genome, n_seeds, win, B, 2) uint8: decode per contiguous device
+    # window, then lay out genome-major.
+    packed = np.asarray(packed)
+    d0 = np.asarray(d0)  # (n_genome, n_seeds, B, 2)
+    ng, ns, win, b, _ = packed.shape
+    bpd = win // segment_size
+    dec = np.empty((ng, ns, win, b, 5), np.int32)
+    for g in range(ng):
+        _fill_block(dec[g], packed[g], d0[g])
+    traj = (
+        dec.reshape(ng, ns, bpd, segment_size, b, 5)
+        .transpose(0, 2, 3, 1, 4, 5)
+        .reshape(ng * bpd * segment_size, ns * b, 5)
+    )
     return traj, np.asarray(log_z)  # log_z: (n_genome, n_seeds)

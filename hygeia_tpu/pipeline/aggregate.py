@@ -136,9 +136,13 @@ def aggregate_chromosome(
             ("obs_ctrl", "observations_control.csv.gz"),
             ("obs_case", "observations_case.csv.gz"),
         ):
+            from hygeia_tpu.utils import io as hio
+
             frames[key].append(
-                pd.read_table(os.path.join(data_dir, fname), sep=",", header=None).astype(
-                    np.int16
+                pd.DataFrame(
+                    hio.read_count_matrix(
+                        os.path.join(data_dir, fname), np.int16
+                    )
                 )
             )
         processed += 1
@@ -150,13 +154,28 @@ def aggregate_chromosome(
 
     pos = pd.concat(frames["positions"]).rename(columns={0: "pos"}).astype(np.int32)
     index = pos["pos"]
+    index_np = index.to_numpy(np.int64)
 
     def _write(df_list, name):
         df = pd.concat(df_list)
         df = df.set_index(index)
-        df.to_csv(
-            os.path.join(output_dir, name), sep="\t", compression=_GZ1
-        )
+        # Native writer: itoa + parallel gzip members, decompressed bytes
+        # identical to to_csv (tests/test_pipeline.py); pandas' CSV
+        # formatting path cost ~20 s over the nine production tables.
+        from hygeia_tpu.native.loader import write_int_table_gz
+
+        header = "pos\t" + "\t".join(str(c) for c in df.columns)
+        if not write_int_table_gz(
+            os.path.join(output_dir, name),
+            df.to_numpy(),
+            index=index_np,
+            header=header,
+            sep="\t",
+            level=1,
+        ):
+            df.to_csv(
+                os.path.join(output_dir, name), sep="\t", compression=_GZ1
+            )
         return df
 
     ctrl_regimes = _write(frames["ctrl_regime"], f"control_regimes_chrom_{chrom}.csv.gz")

@@ -693,6 +693,9 @@ def _single_group_on_counts(
     estimate_regimes=True,
     estimate_parameters=True,
     theta_fixed=None,
+    theta_block_size=65536,
+    theta_halo=4096,
+    theta_block_threshold=150_000,
 ):
     """Run the single-group engine directly on preprocessed count matrices
     and write the reference-named outputs (theta_{chrom}.csv.gz etc.)."""
@@ -738,22 +741,42 @@ def _single_group_on_counts(
         learning_rate_exponent=learning_rate_exponent,
         learning_rate_factor=learning_rate_factor,
     )
-    # Program cached at module level with the table/model arrays as jit
-    # ARGUMENTS: a fresh `jax.jit(lambda ...)` per stage call re-traced and
-    # re-queried the remote compile cache every chromosome (CLAUDE.md rule
-    # 6b) and baked the (T, R) emission table in as a multi-MB program
-    # constant (rule 6d).
-    prog = _sg_engine_program(
-        model.n_regimes, model.u, model.kappa_fixed, model.d_max, cfg
-    )
-    res = prog(
-        jax.random.PRNGKey(rng_seed),
-        model.alpha,
-        model.beta,
-        model.kappa0,
-        jnp.asarray(theta_init, jnp.float32),
-        E,
-    )
+    T = E.shape[0]
+    if theta_block_size and T >= theta_block_threshold:
+        # Within-chromosome blocked path: one sequential chain leaves ~87%
+        # of the chip idle at this shape; halo-buffered blocks of THIS
+        # chromosome run vmapped after a sequential theta warmup
+        # (single_group/blocked.py; parity: tests/test_blocked_engine.py).
+        from hygeia_tpu.single_group.blocked import (
+            run_online_combined_inference_blocked,
+        )
+
+        res = run_online_combined_inference_blocked(
+            jax.random.PRNGKey(rng_seed),
+            model,
+            np.asarray(theta_init, np.float32),
+            np.asarray(E),
+            cfg,
+            block_size=theta_block_size,
+            halo=theta_halo,
+        )
+    else:
+        # Program cached at module level with the table/model arrays as jit
+        # ARGUMENTS: a fresh `jax.jit(lambda ...)` per stage call re-traced
+        # and re-queried the remote compile cache every chromosome (CLAUDE.md
+        # rule 6b) and baked the (T, R) emission table in as a multi-MB
+        # program constant (rule 6d).
+        prog = _sg_engine_program(
+            model.n_regimes, model.u, model.kappa_fixed, model.d_max, cfg
+        )
+        res = prog(
+            jax.random.PRNGKey(rng_seed),
+            model.alpha,
+            model.beta,
+            model.kappa0,
+            jnp.asarray(theta_init, jnp.float32),
+            E,
+        )
 
     _write_sg_outputs(
         sg_dir, chrom, positions,

@@ -73,6 +73,9 @@ class EngineResult(NamedTuple):
     final_score: jnp.ndarray  # (dim_theta,) filtered mean of phi at the last
     # step — the Poyiadjis score estimate of d log Z / d theta (diagnostics
     # and the Fisher-identity test in tests/)
+    final_opt_state: tuple = None  # (adam_m, adam_v, adam_iter) — lets the
+    # blocked within-chromosome path continue the ADAM chain (lr schedule
+    # and moments) from a sequential warmup run
 
 
 def _grad_p_block_columns(R):
@@ -142,8 +145,24 @@ def _prepare_engine(
     psi0 = psi0.at[0].set(jnp.where(slot[None, :] < R, test0, 0.0))
     psi_time0 = jnp.full((S_cap,), T, jnp.int32).at[0].set(0)
     psi_valid0 = jnp.zeros((S_cap,), bool).at[0].set(True)
-    out0 = jnp.zeros((T + 1, R), jnp.float32)
-    out_valid0 = jnp.zeros((T + 1,), bool)
+    # Finalised regime estimates leave the scan through a RING buffer of
+    # 2*S_cap rows (slot = time % (2*S_cap)) + per-step ys emission of the
+    # row for time t - S_cap, NOT a carried (T, R) buffer: the old buffer's
+    # whole-array select on the spill branch priced every step in HBM
+    # passes once T grew or the engine was vmapped (measured: 7 vmapped
+    # 70k-site blocks ran SLOWER than one sequential 400k chain; CLAUDE.md
+    # rule 13). Exactness is preserved by a hard max-lag: any entry still
+    # pending at age S_cap is force-finalised (counted in spill_count), so
+    # pending times always lie in (t - S_cap, t] and the emitted row is
+    # final. The reference's pending set is unbounded
+    # (OnlineMarginalSmoothing.h:197-255) but its epsilon criterion
+    # finalises at far smaller lags in practice; S_cap is configurable.
+    # Depth 2*S_cap slots (slot = time % (2*S_cap)) + ONE spare sentinel row:
+    # invalid psi entries carry psi_time = T, whose modulo would alias a real
+    # slot and — via duplicate-index scatter — overwrite a real finalised row
+    # with stale data. Invalid entries scatter into the spare row instead.
+    ring0 = jnp.zeros((2 * S_cap + 1, R), jnp.float32)
+    ring_valid0 = jnp.zeros((2 * S_cap + 1,), bool)
 
     # Parameter-estimation state (initialisePhi: gradients of the initial
     # density and observation density are zero, singleGroup.h:630-638,707-717).
@@ -159,8 +178,8 @@ def _prepare_engine(
         psi=psi0,
         psi_time=psi_time0,
         psi_valid=psi_valid0,
-        out=out0,
-        out_valid=out_valid0,
+        ring=ring0,
+        ring_valid=ring_valid0,
         spill=jnp.zeros((), jnp.int32),
         phi=phi0,
         theta=theta_init,
@@ -428,7 +447,8 @@ def _prepare_engine(
 
         # ---- OnlineMarginalSmoothing::update ------------------------------
         psi, psi_time, psi_valid = carry["psi"], carry["psi_time"], carry["psi_valid"]
-        out, out_valid, spill = carry["out"], carry["out_valid"], carry["spill"]
+        ring, ring_valid, spill = carry["ring"], carry["ring_valid"], carry["spill"]
+        ring_mod = ring.shape[0] - 1  # 2 * S_cap slots + sentinel row
         if config.estimate_regimes:
             # updatePsi (:148-195) as one mixing matmul.
             psi_new = jnp.einsum("srn,nj->srj", psi, mix)
@@ -442,14 +462,23 @@ def _prepare_engine(
             oldest = jnp.argmin(jnp.where(psi_valid, psi_time, T + 1))
             ins = jnp.where(has_free, free_slot, oldest)
             spill = spill + jnp.where(has_free, 0, 1)
-            out = jnp.where(
+            # Spilled entry's time is in (t - S_cap, t): its ring slot can't
+            # collide with slot_t below. jnp.where with a scalar pred over
+            # the (2*S_cap, R) ring is a few KB — this select over the old
+            # (T, R) buffer was the vmapped engine's dominant per-step cost.
+            spill_slot = psi_time[ins] % ring_mod
+            ring = jnp.where(
                 has_free,
-                out,
-                out.at[psi_time[ins]].set(means_pre[ins].astype(jnp.float32)),
+                ring,
+                ring.at[spill_slot].set(means_pre[ins].astype(jnp.float32)),
             )
-            out_valid = jnp.where(
-                has_free, out_valid, out_valid.at[psi_time[ins]].set(True)
+            ring_valid = jnp.where(
+                has_free, ring_valid, ring_valid.at[spill_slot].set(True)
             )
+            # Inserting time t: clear the ring slot it will finalise into
+            # (it currently holds time t - 2*S_cap, already emitted).
+            slot_t = t % ring_mod
+            ring_valid = ring_valid.at[slot_t].set(False)
 
             test_t = (r_new[None, :] == regimes[:, None]).astype(dtype) * (
                 (is_cont | is_fresh)[None, :]
@@ -459,20 +488,30 @@ def _prepare_engine(
             psi_valid = psi_valid.at[ins].set(True)
 
             # storeEstimates (:197-255): finalise entries whose R variances
-            # all drop below epsilon; on the final step finalise everything.
+            # all drop below epsilon; on the final step finalise everything;
+            # entries reaching age S_cap are force-finalised (max-lag cap —
+            # guarantees pending times stay in (t - S_cap, t] so the ring
+            # emission below is final; counted with the spills).
             means = jnp.einsum("srn,n->sr", psi_new, w_self)
             second = jnp.einsum(
                 "srn,n->sr", (psi_new - means[:, :, None]) ** 2, w_self
             )
             all_below = jnp.all(second < eps, axis=1)
             is_final = t == (T if t_limit is None else t_limit) - 1
-            fin = psi_valid & (all_below | is_final)
-            write_vals = jnp.where(
-                fin[:, None], means.astype(jnp.float32), out[psi_time]
+            aged = psi_time <= t - S_cap
+            spill = spill + jnp.sum(
+                psi_valid & aged & ~all_below & ~is_final, dtype=jnp.int32
             )
-            out = out.at[psi_time].set(write_vals)
-            out_valid = out_valid.at[psi_time].set(
-                jnp.where(fin, True, out_valid[psi_time])
+            fin = psi_valid & (all_below | is_final | aged)
+            # Invalid entries (psi_time = T sentinel) scatter into the spare
+            # sentinel row, never a live slot.
+            slots = jnp.where(psi_valid, psi_time % ring_mod, ring_mod)
+            write_vals = jnp.where(
+                fin[:, None], means.astype(jnp.float32), ring[slots]
+            )
+            ring = ring.at[slots].set(write_vals)
+            ring_valid = ring_valid.at[slots].set(
+                jnp.where(fin, True, ring_valid[slots])
             )
             psi_valid = psi_valid & ~fin
         else:
@@ -561,8 +600,8 @@ def _prepare_engine(
             psi=psi_new,
             psi_time=psi_time,
             psi_valid=psi_valid,
-            out=out,
-            out_valid=out_valid,
+            ring=ring,
+            ring_valid=ring_valid,
             spill=spill,
             phi=phi,
             theta=theta,
@@ -586,7 +625,15 @@ def _prepare_engine(
             )
             theta = carry_out["theta"]
             shift = jnp.where(live, shift, jnp.zeros_like(shift))
-        return carry_out, (theta, shift)
+        # End-of-step emission: the row for time t - S_cap is final (max-lag
+        # cap) and leaves the scan as ys — computed from the (possibly
+        # frozen) carry so t_limit runs emit their tail rows correctly while
+        # steps past the limit replay stale slots (sliced off by callers).
+        te = t - S_cap
+        e_slot = te % (carry_out["ring"].shape[0] - 1)
+        emit_row = carry_out["ring"][e_slot]
+        emit_valid = (te >= 0) & carry_out["ring_valid"][e_slot]
+        return carry_out, (theta, shift, emit_row, emit_valid)
 
     # Initial-step smoothing estimate may finalise immediately; the reference
     # calls storeEstimates at initialise() too (OnlineMarginalSmoothing.h:40-50).
@@ -595,25 +642,50 @@ def _prepare_engine(
         "srn,n->sr", (psi0 - means0[:, :, None]) ** 2, jnp.exp(w0)
     )
     fin0 = psi_valid0 & jnp.all(second0 < eps, axis=1) & (T > 1)
-    carry0["out"] = jnp.where(
-        fin0[0], carry0["out"].at[0].set(means0[0].astype(jnp.float32)), carry0["out"]
+    carry0["ring"] = jnp.where(
+        fin0[0],
+        carry0["ring"].at[0].set(means0[0].astype(jnp.float32)),
+        carry0["ring"],
     )
-    carry0["out_valid"] = carry0["out_valid"].at[0].set(fin0[0])
+    carry0["ring_valid"] = carry0["ring_valid"].at[0].set(fin0[0])
     carry0["psi_valid"] = psi_valid0 & ~fin0
 
     return carry0, step, shift0
 
 
-def _result_from_carry(carry_f, theta_init, theta_trace, log_z, T):
+def _assemble_regime_outputs(emit_rows, emit_valid, ring, ring_valid, T, S_cap):
+    """Reassemble the (T, R) regime-probability table from the per-step ys
+    emissions (row t of the scan emitted time t - S_cap) and the final ring
+    (which holds the last min(T, S_cap) times). Works on jnp or np arrays;
+    static shapes only."""
+    ring_mod = ring.shape[0] - 1  # last row is the sentinel spare
+    if T <= S_cap:
+        idx = jnp.arange(T) % ring_mod
+        return ring[idx], ring_valid[idx]
+    head = emit_rows[S_cap - 1 :]  # times 0 .. T-1-S_cap
+    head_valid = emit_valid[S_cap - 1 :]
+    tail_idx = jnp.arange(T - S_cap, T) % ring_mod
+    return (
+        jnp.concatenate([head, ring[tail_idx]]),
+        jnp.concatenate([head_valid, ring_valid[tail_idx]]),
+    )
+
+
+def _result_from_carry(carry_f, theta_init, theta_trace, log_z, probs, valid):
     theta_full = jnp.concatenate([jnp.asarray(theta_init)[None], theta_trace], axis=0)
     return EngineResult(
-        regime_probs=carry_f["out"][:T],
-        regime_valid=carry_f["out_valid"][:T],
+        regime_probs=probs,
+        regime_valid=valid,
         theta_trace=theta_full,
         log_normalizing_constant=log_z,
         spill_count=carry_f["spill"],
         final_theta=carry_f["theta"],
         final_score=carry_f["score"],
+        final_opt_state=(
+            carry_f["adam_m"],
+            carry_f["adam_v"],
+            carry_f["adam_iter"],
+        ),
     )
 
 
@@ -626,6 +698,7 @@ def run_online_combined_inference(
     weight_dtype=jnp.float32,
     vma_axes=(),
     t_limit=None,
+    adam_init=None,
 ):
     """Run the combined algorithm over T sites in one scan.
 
@@ -634,6 +707,14 @@ def run_online_combined_inference(
     live prefix to an unbatched run of length t_limit; zero logZ
     contribution), and the adaptive-lag force-finalisation fires at
     t_limit - 1 instead of T - 1. Callers slice outputs to [:t_limit].
+
+    adam_init ((adam_m, adam_v, adam_iter), optional): warm-start the ADAM
+    optimizer state — the blocked within-chromosome path seeds every block
+    from a sequential warmup chain's final state so the a/(i+1)^b learning
+    rate keeps decaying instead of restarting hot. grad_prev intentionally
+    stays 0: a fresh block's filtered score accumulates from 0, so its first
+    update's gradient (score - 0) is the same per-window score difference
+    the sequential chain computes.
 
     Mirrors OnlineCombinedInference::run (OnlineCombinedInference.h:48-118):
     initialise, then per step: smc.iterate -> evaluateBackwardKernels ->
@@ -647,6 +728,14 @@ def run_online_combined_inference(
     carry0, step, shift0 = _prepare_engine(
         key, model, theta_init, emissions, config, weight_dtype
     )
+    if adam_init is not None:
+        m0, v0, it0 = adam_init
+        carry0 = dict(
+            carry0,
+            adam_m=jnp.asarray(m0, weight_dtype),
+            adam_v=jnp.asarray(v0, weight_dtype),
+            adam_iter=jnp.asarray(it0, jnp.int32),
+        )
     if vma_axes:
         from hygeia_tpu.utils.vma import pcast_varying
 
@@ -660,11 +749,15 @@ def run_online_combined_inference(
         def body(c, t):
             return step(c, t, t_limit=t_lim)
 
-    carry_f, (theta_trace, shifts) = jax.lax.scan(
+    carry_f, (theta_trace, shifts, emit_rows, emit_valid) = jax.lax.scan(
         body, carry0, ts, unroll=config.scan_unroll
     )
+    probs, valid = _assemble_regime_outputs(
+        emit_rows, emit_valid, carry_f["ring"], carry_f["ring_valid"],
+        T, config.smoothing_window,
+    )
     return _result_from_carry(
-        carry_f, theta_init, theta_trace, shift0 + jnp.sum(shifts), T
+        carry_f, theta_init, theta_trace, shift0 + jnp.sum(shifts), probs, valid
     )
 
 
@@ -707,10 +800,18 @@ def run_online_combined_inference_chunked(
     log_z = np.float64(shift0)
     trace_parts = []
     shifts_parts = []
+    emit_parts = []
+    emit_valid_parts = []
+
+    _CK_VERSION = 2  # v2: ring-buffer smoothing output + emit ys
 
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
         ck = np.load(checkpoint_path, allow_pickle=False)
-        if int(ck["T"]) == T and int(ck["n_leaves"]) == len(leaves0):
+        if (
+            int(ck["T"]) == T
+            and int(ck["n_leaves"]) == len(leaves0)
+            and int(ck.get("version", 1)) == _CK_VERSION
+        ):
             leaves0 = [jnp.asarray(ck[f"leaf_{i}"]) for i in range(len(leaves0))]
             start = int(ck["next_step"])
             log_z = np.float64(ck["log_z"])
@@ -718,6 +819,9 @@ def run_online_combined_inference_chunked(
                 trace_parts = [ck["theta_trace"]]
             if ck["shifts"].size:
                 shifts_parts = [ck["shifts"]]
+            if ck["emit_rows"].size:
+                emit_parts = [ck["emit_rows"]]
+                emit_valid_parts = [ck["emit_valid"]]
     carry = jax.tree_util.tree_unflatten(treedef, leaves0)
 
     emissions_arg = jnp.asarray(emissions)
@@ -736,7 +840,7 @@ def run_online_combined_inference_chunked(
     while start < n_steps:
         stop = min(start + chunk_size, n_steps)
         t0_site = int(ts_all[start])
-        carry, (theta_trace, shifts) = run_chunk(
+        carry, (theta_trace, shifts, emit_rows, emit_valid) = run_chunk(
             carry,
             jnp.asarray(ts_all[start:stop]),
             jax.lax.slice_in_dim(
@@ -747,6 +851,8 @@ def run_online_combined_inference_chunked(
         jax.block_until_ready(shifts)
         trace_parts.append(np.asarray(theta_trace))
         shifts_parts.append(np.asarray(shifts))
+        emit_parts.append(np.asarray(emit_rows))
+        emit_valid_parts.append(np.asarray(emit_valid))
         log_z = log_z + np.asarray(shifts, np.float64).sum()
         start = stop
         if checkpoint_path and start < n_steps:
@@ -754,12 +860,15 @@ def run_online_combined_inference_chunked(
             tmp = str(checkpoint_path) + ".tmp.npz"
             np.savez(
                 tmp,
+                version=_CK_VERSION,
                 T=T,
                 n_leaves=len(leaves),
                 next_step=start,
                 log_z=np.float64(log_z),
                 theta_trace=np.concatenate(trace_parts, axis=0),
                 shifts=np.concatenate(shifts_parts, axis=0),
+                emit_rows=np.concatenate(emit_parts, axis=0),
+                emit_valid=np.concatenate(emit_valid_parts, axis=0),
                 **{f"leaf_{i}": l for i, l in enumerate(leaves)},
             )
             os.replace(tmp, checkpoint_path)
@@ -771,6 +880,26 @@ def run_online_combined_inference_chunked(
         if trace_parts
         else jnp.zeros((0, len(np.asarray(theta_init))), weight_dtype)
     )
+    R = emissions.shape[1]
+    emit_rows_all = (
+        np.concatenate(emit_parts, axis=0)
+        if emit_parts
+        else np.zeros((0, R), np.float32)
+    )
+    emit_valid_all = (
+        np.concatenate(emit_valid_parts, axis=0)
+        if emit_valid_parts
+        else np.zeros((0,), bool)
+    )
+    probs, valid = _assemble_regime_outputs(
+        emit_rows_all,
+        emit_valid_all,
+        np.asarray(carry["ring"]),
+        np.asarray(carry["ring_valid"]),
+        T,
+        config.smoothing_window,
+    )
     return _result_from_carry(
-        carry, jnp.asarray(theta_init, weight_dtype), theta_trace, jnp.asarray(log_z), T
+        carry, jnp.asarray(theta_init, weight_dtype), theta_trace,
+        jnp.asarray(log_z), probs, valid,
     )

@@ -438,7 +438,16 @@ def infer_chromosome_streamed(
     W = int(streaming_blocks)
     n_batches = 1 + len(positions_all) // segment_size
 
+    from hygeia_tpu.two_group.streaming import streamed_inference
+    from concurrent.futures import ThreadPoolExecutor
+
+    _io_pool = ThreadPoolExecutor(max_workers=2)
+    io_futures = []
+
     # Per-batch windows, sliced counts, input CSVs (infer_segment parity).
+    # The input-CSV writes ride the writer pool so their zlib/formatting
+    # (GIL-releasing) overlaps the emission builds and the first compute
+    # dispatch instead of serialising before it.
     wins = {}
     for batch in range(n_batches):
         window = segment_window(
@@ -457,25 +466,18 @@ def infer_chromosome_streamed(
         }
         path = os.path.join(results_dir, f"chrom_{chrom}_{batch}")
         os.makedirs(path, exist_ok=True)
-        hio.write_count_matrix(
-            os.path.join(path, "observations_control.csv.gz"),
-            counts["n_meth_control"].astype(np.int16)[ret],
-        )
-        hio.write_count_matrix(
-            os.path.join(path, "observations_case.csv.gz"),
-            counts["n_meth_case"].astype(np.int16)[ret],
-        )
-        hio.write_count_matrix(
-            os.path.join(path, "n_total_reads_control.csv.gz"),
-            counts["n_total_control"].astype(np.int16)[ret],
-        )
-        hio.write_count_matrix(
-            os.path.join(path, "n_total_reads_case.csv.gz"),
-            counts["n_total_case"].astype(np.int16)[ret],
-        )
-        hio.write_count_matrix(
-            os.path.join(path, "positions.csv.gz"), positions_all[sl][ret]
-        )
+        for fname, arr in (
+            ("observations_control.csv.gz", counts["n_meth_control"].astype(np.int16)[ret]),
+            ("observations_case.csv.gz", counts["n_meth_case"].astype(np.int16)[ret]),
+            ("n_total_reads_control.csv.gz", counts["n_total_control"].astype(np.int16)[ret]),
+            ("n_total_reads_case.csv.gz", counts["n_total_case"].astype(np.int16)[ret]),
+            ("positions.csv.gz", positions_all[sl][ret]),
+        ):
+            io_futures.append(
+                _io_pool.submit(
+                    hio.write_count_matrix, os.path.join(path, fname), arr
+                )
+            )
         wins[batch] = (sl.stop - sl.start, ret, counts, path)
 
     all_log_norm = {b: {s: {} for s in seeds} for b in wins}
@@ -488,11 +490,6 @@ def infer_chromosome_streamed(
     for batch, (t_w, _, _, _) in wins.items():
         groups.setdefault(t_w, []).append(batch)
 
-    from hygeia_tpu.two_group.streaming import streamed_inference
-    from concurrent.futures import ThreadPoolExecutor
-
-    _io_pool = ThreadPoolExecutor(max_workers=2)
-    io_futures = []
     try:
 
         for M in num_resampled_particles:
@@ -530,12 +527,16 @@ def infer_chromosome_streamed(
                             ),
                         )
                     else:
+                        from hygeia_tpu.ops.emissions import (
+                            emission_log_prob_table_fused,
+                        )
+
                         emis[b] = (
-                            emission_log_prob_table(
+                            emission_log_prob_table_fused(
                                 c["n_meth_control"], c["n_total_control"],
                                 params.alpha, params.beta,
                             ),
-                            emission_log_prob_table(
+                            emission_log_prob_table_fused(
                                 c["n_meth_case"], c["n_total_case"],
                                 params.alpha, params.beta,
                             ),

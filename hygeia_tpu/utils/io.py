@@ -51,10 +51,23 @@ def write_count_matrix(path, arr):
     count file at level-9 gzip); pandas' C writer with level-1 gzip emits
     the SAME bytes after decompression (str()-shortest float repr both
     ways; verified byte-for-byte on f32 counts and i64 positions) ~12x
-    faster. INFER writes 5 of these per work unit."""
+    faster. INFER writes 5 of these per work unit.
+
+    Integer arrays take the native itoa + parallel-gzip writer
+    (native/loader.write_int_table_gz) — same decompressed bytes
+    ("%s" of an int has no decimal point), another ~8x on the int16
+    trimmed-count files (regression: test_more_components byte-identity,
+    which routes its i64 case through this path)."""
     _ensure_dir(path)
     a = np.asarray(arr)
-    df = pd.DataFrame(a if a.ndim > 1 else a[:, None])
+    if a.ndim == 1:
+        a = a[:, None]
+    if np.issubdtype(a.dtype, np.integer) and str(path).endswith(".gz"):
+        from hygeia_tpu.native.loader import write_int_table_gz
+
+        if write_int_table_gz(path, a, sep=",", level=1):
+            return
+    df = pd.DataFrame(a)
     compression = (
         {"method": "gzip", "compresslevel": 1}
         if str(path).endswith(".gz")

@@ -1,9 +1,16 @@
-"""Native fast-loader tests (skipped if the toolchain can't build it)."""
+"""Native fast-loader/writer tests (skipped if the toolchain can't build it)."""
+
+import gzip
+import io
 
 import numpy as np
 import pytest
 
-from hygeia_tpu.native.loader import ensure_built, load_matrix
+from hygeia_tpu.native.loader import (
+    ensure_built,
+    load_matrix,
+    write_int_table_gz,
+)
 
 
 pytestmark = pytest.mark.skipif(not ensure_built(), reason="no native toolchain")
@@ -31,6 +38,39 @@ def test_load_matrix_uncompressed(tmp_path):
     p = tmp_path / "m.txt"
     np.savetxt(p, arr, delimiter=",", fmt="%s")
     np.testing.assert_allclose(load_matrix(p), arr)
+
+
+def test_fastwrite_matches_pandas_to_csv(tmp_path):
+    """The aggregate-stage writer's contract: decompressed bytes identical
+    to pandas to_csv for integer tables (index + header + tab sep), and the
+    multi-member gzip stream reads back through both gzip and pandas."""
+    import pandas as pd
+
+    rng = np.random.default_rng(1)
+    for rows, cols in ((1, 1), (7, 3), (5001, 12)):
+        arr = rng.integers(-9, 3000, (rows, cols)).astype(np.int32)
+        idx = rng.integers(0, 2**40, rows).astype(np.int64)
+        df = pd.DataFrame(arr).set_index(pd.Index(idx, name="pos"))
+        buf = io.StringIO()
+        df.to_csv(buf, sep="\t")
+        p = tmp_path / f"t_{rows}x{cols}.csv.gz"
+        assert write_int_table_gz(
+            p, arr, index=idx,
+            header="pos\t" + "\t".join(str(c) for c in df.columns),
+        )
+        with gzip.open(p, "rb") as f:
+            assert f.read() == buf.getvalue().encode(), (rows, cols)
+        rt = pd.read_table(p, sep="\t", index_col=0)
+        np.testing.assert_array_equal(rt.to_numpy(), arr)
+        np.testing.assert_array_equal(rt.index.to_numpy(), idx)
+
+
+def test_fastwrite_no_index_no_header(tmp_path):
+    arr = np.array([[1, 2], [3, 4]], np.int64)
+    p = tmp_path / "plain.csv.gz"
+    assert write_int_table_gz(p, arr, sep=",")
+    with gzip.open(p, "rb") as f:
+        assert f.read() == b"1,2\n3,4\n"
 
 
 def test_matches_pandas_on_pipeline_output(tmp_path):

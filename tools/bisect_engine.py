@@ -43,6 +43,12 @@ def main():
     ]
     NP_ = int(os.environ.get("HYGEIA_BENCH_NP", 250))
     REPS = int(os.environ.get("REPS", 3))
+    # 1 = return the FULL result pytree. The original logZ-only return let
+    # XLA dead-code-eliminate the whole smoothing output path, understating
+    # "full"/"regimes" by >2x (round-5 finding); logZ-only numbers remain
+    # available for the filter+params decomposition.
+    FULL_OUT = int(os.environ.get("HYGEIA_ENGINE_FULL_OUTPUTS", 1))
+    S_CAP = int(os.environ.get("HYGEIA_ENGINE_SCAP", 128))
 
     R = 6
     rng = np.random.default_rng(0)
@@ -66,13 +72,22 @@ def main():
         y = np.minimum(rng.poisson(10, size=(units, T, 2)), n).astype(np.float32)
         keys = jax.random.split(jax.random.PRNGKey(0), units)
         for name, flags in cases.items():
-            cfg = EngineConfig(n_particles_max=NP_, steps_per_update=200, **flags)
+            cfg = EngineConfig(
+                n_particles_max=NP_, steps_per_update=200,
+                smoothing_window=S_CAP, **flags,
+            )
 
             @jax.jit
             def run(keys, y, n):
                 def one(key, y_u, n_u):
                     E = emission_log_prob_table(y_u, n_u, model.alpha, model.beta)
                     res = run_online_combined_inference(key, model, theta0, E, cfg)
+                    if FULL_OUT:
+                        return (
+                            res.log_normalizing_constant,
+                            res.regime_probs,
+                            res.theta_trace[-1],
+                        )
                     return res.log_normalizing_constant
 
                 return jax.vmap(one)(keys, jnp.asarray(y), jnp.asarray(n))
