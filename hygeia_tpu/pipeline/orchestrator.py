@@ -693,7 +693,7 @@ def _single_group_on_counts(
     estimate_regimes=True,
     estimate_parameters=True,
     theta_fixed=None,
-    theta_block_size=65536,
+    theta_block_size=49152,  # measured best on the v5e (tools/blocked_theta_bench)
     theta_halo=4096,
     theta_block_threshold=150_000,
 ):

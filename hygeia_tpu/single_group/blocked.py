@@ -87,12 +87,16 @@ def _programs(model: SingleGroupModel, config: EngineConfig):
         )
 
     warm_cfg = config._replace(estimate_regimes=False)
+    su = config.steps_per_update
 
     @jax.jit
     def warmup(key, alpha, beta, kappa0, theta_init, E):
-        return run_online_combined_inference(
+        res = run_online_combined_inference(
             key, _model(alpha, beta, kappa0), theta_init, E, warm_cfg
         )
+        n_upd = max(0, (E.shape[0] - 1) // su)
+        upd_rows = res.theta_trace[jnp.arange(1, n_upd + 1) * su]
+        return res.final_theta, res.final_opt_state, upd_rows
 
     @jax.jit
     def single(key, alpha, beta, kappa0, theta_init, E):
@@ -110,8 +114,25 @@ def _programs(model: SingleGroupModel, config: EngineConfig):
         model = _model(alpha, beta, kappa0)
 
         def one(key, E):
-            return run_online_combined_inference(
+            res = run_online_combined_inference(
                 key, model, theta0, E, config, adam_init=adam0
+            )
+            # theta changes ONLY at update steps (t % su == 0): return the
+            # update-step rows instead of the full (win, D) trace — the
+            # trace pull rode the ~21 MB/s tunnel (70 MB at production
+            # shape, ~3 s serial with compute; CLAUDE.md rule 6c). The host
+            # expands back to the bit-identical full trace.
+            win = E.shape[0]
+            n_upd = max(0, (win - 1) // su)
+            upd_rows = res.theta_trace[jnp.arange(1, n_upd + 1) * su]
+            return (
+                res.log_normalizing_constant,
+                res.regime_probs,
+                res.regime_valid,
+                res.spill_count,
+                res.final_theta,
+                res.final_score,
+                upd_rows,
             )
 
         return jax.vmap(one)(keys, E_blocks)
@@ -152,16 +173,24 @@ def run_online_combined_inference_blocked(
         )
     D = model.dim_theta
 
+    su = config.steps_per_update
+    theta_init_np = np.asarray(theta_init, np.float32)
+
+    def _expand_trace(upd, j_lo, j_hi, base):
+        # Row j of a chain's trace = base theta before the first update,
+        # then update row j//su - 1 (theta changes only at update steps).
+        j = np.arange(j_lo, j_hi)
+        rows = np.concatenate([np.asarray(base, np.float32)[None], upd], axis=0)
+        return rows[np.minimum(j // su, len(upd))]
+
     # ---- 1. sequential theta warmup on the prefix -------------------------
     if config.estimate_parameters:
         Tw = int(min(T, warmup_sites))
-        res_w = progs["warmup"](
+        theta0, adam0, upd_w = progs["warmup"](
             key, model.alpha, model.beta, model.kappa0,
             jnp.asarray(theta_init, jnp.float32), jnp.asarray(E[:Tw]),
         )
-        theta0 = res_w.final_theta
-        adam0 = res_w.final_opt_state
-        warm_trace = np.asarray(res_w.theta_trace)  # (Tw, D)
+        warm_trace = _expand_trace(np.asarray(upd_w), 0, Tw, theta_init_np)
     else:
         theta0 = jnp.asarray(theta_init, jnp.float32)
         adam0 = (
@@ -199,9 +228,11 @@ def run_online_combined_inference_blocked(
     )
 
     # ---- 3. host assembly --------------------------------------------------
-    probs_b = np.asarray(res_b.regime_probs)  # (n_blocks, win, R)
-    valid_b = np.asarray(res_b.regime_valid)
-    trace_b = np.asarray(res_b.theta_trace)  # (n_blocks, win, D)
+    log_z_b, probs_b, valid_b, spill_b, final_theta_b, score_b, upd_b = res_b
+    probs_b = np.asarray(probs_b)  # (n_blocks, win, R)
+    valid_b = np.asarray(valid_b)
+    upd_b = np.asarray(upd_b)  # (n_blocks, n_upd, D) update-step theta rows
+    theta0_np = np.asarray(theta0)
     probs = np.zeros((T, R), np.float32)
     valid = np.zeros((T,), bool)
     trace = np.zeros((T, D), np.float32)
@@ -209,14 +240,14 @@ def run_online_combined_inference_blocked(
         n = g_end - g_start
         probs[g_start:g_end] = probs_b[b, lo : lo + n]
         valid[g_start:g_end] = valid_b[b, lo : lo + n]
-        trace[g_start:g_end] = trace_b[b, lo : lo + n]
+        trace[g_start:g_end] = _expand_trace(upd_b[b], lo, lo + n, theta0_np)
     if warm_trace is not None:
         # The warmup chain's trace is the sequential-parity prefix.
         n = min(len(warm_trace), T)
         trace[:n] = warm_trace[:n]
 
     if config.estimate_parameters:
-        final_theta = np.mean(np.asarray(res_b.final_theta), axis=0)
+        final_theta = np.mean(np.asarray(final_theta_b), axis=0)
     else:
         final_theta = np.asarray(theta_init, np.float32)
     trace[-1] = final_theta  # theta_{chrom}.csv.gz reads the last row
@@ -226,10 +257,10 @@ def run_online_combined_inference_blocked(
         regime_valid=valid,
         theta_trace=trace,
         log_normalizing_constant=np.float64(
-            np.sum(np.asarray(res_b.log_normalizing_constant))
+            np.sum(np.asarray(log_z_b))
         ),
-        spill_count=np.sum(np.asarray(res_b.spill_count)),
+        spill_count=np.sum(np.asarray(spill_b)),
         final_theta=final_theta,
-        final_score=np.mean(np.asarray(res_b.final_score), axis=0),
+        final_score=np.mean(np.asarray(score_b), axis=0),
         final_opt_state=None,
     )
