@@ -309,6 +309,44 @@ def run_two_group(
     # t_limit masking makes ragged batching bit-identical per chromosome.
     # On failure the markers stay unset and the per-chromosome path below
     # handles each individually (retry/ignore semantics unchanged).
+    # Prewarm the streamed-INFER program set in the background while the
+    # theta stage runs: a fresh process otherwise pays the per-program
+    # remote compile-cache fetches SERIALLY in front of the first INFER
+    # dispatch (runner.prewarm_chromosome_streamed; best-effort — any
+    # failure only forfeits the overlap). Shapes need the chromosome
+    # length, read cheaply from the first chromosome's positions file.
+    if streaming_blocks and stream_batched and preprocessed_dir is not None:
+        import threading
+
+        def _prewarm():
+            try:
+                from hygeia_tpu.utils import io as _hio
+                from hygeia_tpu.two_group.runner import (
+                    prewarm_chromosome_streamed,
+                )
+
+                n_pos = len(
+                    _hio.read_positions(
+                        Path(preprocessed_dir) / f"positions_{chroms[0]}.txt.gz"
+                    )
+                )
+                prewarm_chromosome_streamed(
+                    n_positions=n_pos,
+                    segment_size=segment_size,
+                    buffer_size=buffer_size,
+                    n_seeds=len(inference_seeds),
+                    mu=mu,
+                    sigma=sigma,
+                    minimum_duration=u,
+                    num_resampled_particles=num_resampled_particles,
+                    num_samples_backward=num_samples_backward,
+                    streaming_blocks=streaming_blocks,
+                )
+            except Exception:  # noqa: BLE001 — priming is best-effort
+                pass
+
+        threading.Thread(target=_prewarm, daemon=True).start()
+
     sg_batched_done: set = set()  # chroms completed by the batched pass
     # (tracked in-process, not only via .done markers: with --no_resume the
     # per-chromosome loop ignores markers and would re-run the stage twice).

@@ -43,6 +43,100 @@ def segment_window(n_positions, batch, segment_size, buffer_size):
     return range(lo, hi), ret
 
 
+def prewarm_chromosome_streamed(
+    *,
+    n_positions,
+    segment_size=100000,
+    buffer_size=5000,
+    n_seeds=2,
+    mu=DEFAULT_MU,
+    sigma=DEFAULT_SIGMA,
+    minimum_duration=3,
+    omega_case=0.8,
+    merge_log_prob=np.log(0.1),
+    split_prob=0.01,
+    num_resampled_particles=50,
+    num_samples_backward=25,
+    streaming_blocks=16384,
+    weight_dtype=jnp.float32,
+):
+    """Best-effort cache priming for the streamed-batched INFER stage.
+
+    Runs the streamed program set on ZERO counts at exactly the shapes
+    infer_chromosome_streamed will request (window-length groups, HBM-capped
+    unit batch) so the remote compile-cache fetches happen BEFORE (or, when
+    called from a background thread, DURING) the single-group theta stage
+    instead of serialising in front of the first INFER dispatch — a
+    fresh-process run otherwise pays minutes of serial program acquisition
+    (CLAUDE.md rule 6/6b; the reference container pays no compile tax,
+    modules/two_group/4_infer.nf:44-49). Shape planning mirrors
+    infer_chromosome_streamed; drift only wastes the prewarm, never changes
+    results. Zero-read sites have emission log-lik 0, so the zero run is
+    numerically inert (uniform weights throughout)."""
+    from hygeia_tpu.two_group.streaming import streamed_inference
+
+    mu = np.asarray(mu, np.float64)
+    R = len(mu)
+    M = num_resampled_particles
+    N = M * (2 * R + R * R)
+    B = num_samples_backward
+    W = int(streaming_blocks)
+    n_batches = 1 + n_positions // segment_size
+    hbm_budget = float(os.environ.get("HYGEIA_HBM_BUDGET_GB", 13.5)) * 2**30
+
+    # Window-length groups (segment_window semantics).
+    groups = {}
+    for batch in range(n_batches):
+        win = segment_window(n_positions, batch, segment_size, buffer_size)
+        if win is None:
+            continue
+        t_w = win[0].stop - win[0].start
+        groups[t_w] = groups.get(t_w, 0) + 1
+
+    # Identity transition matrix placeholder (theta is not known yet; the
+    # program shapes depend only on (R, min_duration, d_max, M, B, dtype)).
+    p0 = np.full((R, R), 1.0 / (R - 1))
+    np.fill_diagonal(p0, 0.0)
+    with np.errstate(divide="ignore"):
+        log_p = np.log(p0)
+    from hygeia_tpu.ops.distributions import logit as _logit
+
+    n_programs = 0
+    for t_w, n_group in sorted(groups.items()):
+        params = make_params(
+            mu=mu,
+            sigma=sigma,
+            p_softmax_control=log_p,
+            omega_logit_control=np.asarray(_logit(jnp.full((R,), 0.9))),
+            omega_case=omega_case,
+            kappa_control=np.full(R, 2.0),
+            kappa_case=np.full(R, 2.0),
+            merge_log_prob=merge_log_prob,
+            split_prob=split_prob,
+            minimum_duration=minimum_duration,
+            d_max=max(64, t_w + 1),
+        )
+        per_unit = min(t_w, W) * N * 34
+        units = n_group * n_seeds
+        S = min(max(1, int(hbm_budget // max(per_unit, 1))), units)
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in range(S)])
+        # Program shapes are per BLOCK, not per segment: a 3-block run
+        # (cold W + warm W + warm tail) triggers every program the real
+        # t_w-site run will request, at a fraction of its compute. The
+        # single-block case uses only the reverse cold program.
+        if t_w <= W:
+            t_prewarm = t_w
+        else:
+            t_prewarm = 2 * W + (t_w % W)
+        E0 = jnp.zeros((S, t_prewarm, R), jnp.float32)
+        streamed_inference(
+            keys, params, E0, E0, M, B,
+            block_size=W, weight_dtype=weight_dtype,
+        )
+        n_programs += 1
+    return n_programs
+
+
 def infer_segment(
     *,
     data_dir,
@@ -304,17 +398,22 @@ def infer_segment(
             times[s][N] = t_f
             times_backward[s][N] = t_b
             all_log_norm[s][N] = log_z
+            # level=0 (stored): archive deflate is CPU-bound on this host
+            # and serialised after compute (utils/io.savez_fast docstring).
             savez_fast(
                 os.path.join(path, f"optimal_backward_particles_merged_state_{N}_{s}"),
                 traj[:, :, 0].astype(np.int16)[ret],
+                level=0,
             )
             savez_fast(
                 os.path.join(path, f"optimal_backward_particles_control_state_{N}_{s}"),
                 traj[:, :, 1:3].astype(np.int32)[ret],
+                level=0,
             )
             savez_fast(
                 os.path.join(path, f"optimal_backward_particles_case_state_{N}_{s}"),
                 traj[:, :, 3:5].astype(np.int32)[ret],
+                level=0,
             )
             savez_fast(
                 os.path.join(path, f"optimal_split_probs_{N}_{s}"), split_s
@@ -587,6 +686,9 @@ def infer_chromosome_streamed(
                         # chunk's device dispatch/pull (~1 s x 3 archives x unit
                         # on the 2-core host otherwise serialises after every
                         # chunk). Joined before the flags files below.
+                        # level=0 (stored): the level-1 deflate of ~25 s of
+                        # archives is CPU-bound on the 2-core host and cannot
+                        # overlap a single-chunk dispatch (savez_fast docstring).
                         io_futures.append(_io_pool.submit(
                             savez_fast,
                             os.path.join(
@@ -594,6 +696,7 @@ def infer_chromosome_streamed(
                                 f"optimal_backward_particles_merged_state_{N}_{s}",
                             ),
                             traj[:, :, 0].astype(np.int16)[ret],
+                            0,
                         ))
                         io_futures.append(_io_pool.submit(
                             savez_fast,
@@ -602,6 +705,7 @@ def infer_chromosome_streamed(
                                 f"optimal_backward_particles_control_state_{N}_{s}",
                             ),
                             traj[:, :, 1:3].astype(np.int32)[ret],
+                            0,
                         ))
                         io_futures.append(_io_pool.submit(
                             savez_fast,
@@ -610,6 +714,7 @@ def infer_chromosome_streamed(
                                 f"optimal_backward_particles_case_state_{N}_{s}",
                             ),
                             traj[:, :, 3:5].astype(np.int32)[ret],
+                            0,
                         ))
                         savez_fast(
                             os.path.join(path, f"optimal_split_probs_{N}_{s}"),

@@ -133,16 +133,20 @@ def theta_file_to_p_softmax(theta, n_regimes):
     return log_p, omega_logit
 
 
-def savez_fast(path, arr):
+def savez_fast(path, arr, level=1):
     """np.savez_compressed-compatible single-array .npz writer at zlib
-    level 1.
+    level 1 (or ZIP_STORED when level=0).
 
     numpy pins its npz deflate at level 6; at production scale the INFER
     stage writes ~0.5 GB of trajectory archives per chromosome and the
     compression wall was a visible share of the warm stage (PERF.md pipeline
     table). An .npz is just a zip of .npy members, so writing the member
     through zipfile with compresslevel=1 produces a file np.load reads
-    identically (key "arr_0", like np.savez_compressed(path, arr))."""
+    identically (key "arr_0", like np.savez_compressed(path, arr)).
+    level=0 writes STORED members — even level-1 deflate of the big
+    trajectory archives is CPU-bound on this 2-core host (~25 s of wall
+    after the single compute chunk at production scale); np.load reads
+    stored members identically and disk bandwidth absorbs the size."""
     import io as _io
     import zipfile
 
@@ -151,7 +155,11 @@ def savez_fast(path, arr):
         path = path + ".npz"
     buf = _io.BytesIO()
     np.lib.format.write_array(buf, np.asanyarray(arr), allow_pickle=False)
-    with zipfile.ZipFile(
-        path, "w", compression=zipfile.ZIP_DEFLATED, compresslevel=1
-    ) as zf:
+    if level:
+        zf = zipfile.ZipFile(
+            path, "w", compression=zipfile.ZIP_DEFLATED, compresslevel=level
+        )
+    else:
+        zf = zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED)
+    with zf:
         zf.writestr("arr_0.npy", buf.getvalue())

@@ -16,7 +16,10 @@ measured 233 sites/s CPU loop.
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python tools/production_pipeline.py
 Knobs: HYGEIA_PROD_T (default 400000), HYGEIA_PROD_SEEDS (2),
        HYGEIA_PROD_BLOCKS (16384), HYGEIA_PROD_DIR (a fresh tmp dir),
-       HYGEIA_PROD_M (50), HYGEIA_PROD_B (25).
+       HYGEIA_PROD_M (50), HYGEIA_PROD_B (25),
+       HYGEIA_PROD_REALISTIC (1 = chr21-like fixture: island/sea CpG
+       spacing, ~55% missingness, overdispersed depth —
+       two_group/realistic.py — instead of the uniform synthetic inputs).
 """
 
 import json
@@ -70,10 +73,18 @@ def main():
         split_prob=0.01, minimum_duration=3, d_max=T + 2,
     )
 
+    realistic = int(os.environ.get("HYGEIA_PROD_REALISTIC", 0))
     chrom_names = [f"c{21 + i}" for i in range(n_chroms)]
     t0 = time.perf_counter()
     for ci, cname in enumerate(chrom_names):
         if os.path.exists(os.path.join(pre, f"positions_{cname}.txt.gz")):
+            continue
+        if realistic:
+            from hygeia_tpu.two_group.realistic import make_realistic_fixture
+
+            make_realistic_fixture(
+                pre, cname, T, n_samples=S, seed=1 + ci, missing_prob=0.55,
+            )
             continue
         n_c = rng.poisson(30, size=(T, S)).astype(np.float32)
         n_k = rng.poisson(30, size=(T, S)).astype(np.float32)
