@@ -309,39 +309,74 @@ def run_two_group(
     # t_limit masking makes ragged batching bit-identical per chromosome.
     # On failure the markers stay unset and the per-chromosome path below
     # handles each individually (retry/ignore semantics unchanged).
-    # Prewarm the streamed-INFER program set in the background while the
-    # theta stage runs: a fresh process otherwise pays the per-program
-    # remote compile-cache fetches SERIALLY in front of the first INFER
-    # dispatch (runner.prewarm_chromosome_streamed; best-effort — any
-    # failure only forfeits the overlap). Shapes need the chromosome
-    # length, read cheaply from the first chromosome's positions file.
-    if streaming_blocks and stream_batched and preprocessed_dir is not None:
+    # Prewarm the pipeline's device-program set in the background from the
+    # very start: a fresh process otherwise pays the per-program compile-
+    # cache fetches (~20 s EACH on this backend, even on hits) SERIALLY
+    # in front of each stage's first dispatch. Theta-stage jobs are
+    # submitted first (needed first); all fetches parallelise on one pool
+    # (best-effort — any failure only forfeits the overlap).
+    if preprocessed_dir is not None and not stub_run:
         import threading
 
         def _prewarm():
             try:
+                from concurrent.futures import ThreadPoolExecutor
+
                 from hygeia_tpu.utils import io as _hio
-                from hygeia_tpu.two_group.runner import (
-                    prewarm_chromosome_streamed,
-                )
 
                 n_pos = len(
                     _hio.read_positions(
                         Path(preprocessed_dir) / f"positions_{chroms[0]}.txt.gz"
                     )
                 )
-                prewarm_chromosome_streamed(
-                    n_positions=n_pos,
-                    segment_size=segment_size,
-                    buffer_size=buffer_size,
-                    n_seeds=len(inference_seeds),
-                    mu=mu,
-                    sigma=sigma,
-                    minimum_duration=u,
-                    num_resampled_particles=num_resampled_particles,
-                    num_samples_backward=num_samples_backward,
-                    streaming_blocks=streaming_blocks,
-                )
+                jobs = []
+                if len(chroms) == 1 and n_pos >= 150_000:
+                    # The blocked theta stage will run (thresholds mirror
+                    # _single_group_on_counts).
+                    from hygeia_tpu.single_group.blocked import (
+                        aot_compile_jobs as _theta_jobs,
+                    )
+                    from hygeia_tpu.single_group.engine import EngineConfig
+                    from hygeia_tpu.single_group.model import make_model
+
+                    model = make_model(
+                        np.asarray(mu), np.asarray(sigma), u,
+                        np.full(len(mu), 2.0), d_max=4096,
+                    )
+                    cfg = EngineConfig(
+                        n_particles_max=n_particles_single_group,
+                        epsilon=epsilon,
+                        estimate_regimes=True,
+                        estimate_parameters=True,
+                        steps_per_update=n_steps_without_parameter_update,
+                        learning_rate_exponent=learning_rate_exponent,
+                        learning_rate_factor=learning_rate_factor,
+                    )
+                    jobs += _theta_jobs(model, cfg, n_pos)
+                if streaming_blocks and stream_batched:
+                    from hygeia_tpu.two_group.runner import (
+                        prewarm_chromosome_streamed,
+                    )
+
+                    jobs += prewarm_chromosome_streamed(
+                        n_positions=n_pos,
+                        segment_size=segment_size,
+                        buffer_size=buffer_size,
+                        n_seeds=len(inference_seeds),
+                        mu=mu,
+                        sigma=sigma,
+                        minimum_duration=u,
+                        num_resampled_particles=num_resampled_particles,
+                        num_samples_backward=num_samples_backward,
+                        streaming_blocks=streaming_blocks,
+                        run=False,
+                    )
+                with ThreadPoolExecutor(max_workers=8) as pool:
+                    for f in [pool.submit(j) for j in jobs]:
+                        try:
+                            f.result()
+                        except Exception:  # noqa: BLE001
+                            pass
             except Exception:  # noqa: BLE001 — priming is best-effort
                 pass
 

@@ -142,6 +142,59 @@ def _programs(model: SingleGroupModel, config: EngineConfig):
     return progs
 
 
+def aot_compile_jobs(
+    model: SingleGroupModel,
+    config: EngineConfig,
+    T: int,
+    *,
+    block_size: int = 49152,
+    halo: int = 4096,
+    warmup_sites: int = 65536,
+):
+    """Zero-arg callables AOT-compiling the blocked theta-stage program set
+    (warmup + blocks) for a chromosome of T sites — program acquisition
+    costs ~20 s each on this backend even on cache hits but parallelises
+    across threads; the pipeline orchestrator runs these at start-up
+    alongside the INFER prewarm (streaming.aot_compile_jobs)."""
+    import jax
+
+    progs = _programs(model, config)
+    n_blocks = max(1, -(-T // block_size))
+    win = block_size + halo
+    sds = jax.ShapeDtypeStruct
+    D = model.dim_theta
+    R = model.n_regimes
+    key_sd = sds((2,), jnp.uint32)
+    a_sd = sds(model.alpha.shape, model.alpha.dtype)
+    b_sd = sds(model.beta.shape, model.beta.dtype)
+    k_sd = sds(model.kappa0.shape, model.kappa0.dtype)
+    th_sd = sds((D,), jnp.float32)
+    if n_blocks == 1 or T < win:
+        return [
+            lambda: progs["single"]
+            .lower(key_sd, a_sd, b_sd, k_sd, th_sd, sds((T, R), jnp.float32))
+            .compile()
+        ]
+    jobs = []
+    if config.estimate_parameters:
+        Tw = int(min(T, warmup_sites))
+        jobs.append(
+            lambda: progs["warmup"]
+            .lower(key_sd, a_sd, b_sd, k_sd, th_sd, sds((Tw, R), jnp.float32))
+            .compile()
+        )
+    adam_sd = (th_sd, th_sd, sds((), jnp.int32))
+    jobs.append(
+        lambda: progs["blocks"]
+        .lower(
+            sds((n_blocks, 2), jnp.uint32), a_sd, b_sd, k_sd, th_sd, adam_sd,
+            sds((n_blocks, win, R), jnp.float32),
+        )
+        .compile()
+    )
+    return jobs
+
+
 def run_online_combined_inference_blocked(
     key,
     model: SingleGroupModel,
@@ -182,6 +235,34 @@ def run_online_combined_inference_blocked(
         j = np.arange(j_lo, j_hi)
         rows = np.concatenate([np.asarray(base, np.float32)[None], upd], axis=0)
         return rows[np.minimum(j // su, len(upd))]
+
+    # AOT-compile the blocks program CONCURRENTLY with the warmup chain's
+    # execution: a fresh process otherwise pays its ~20 s compile-cache
+    # fetch serially between the two (program acquisition parallelises;
+    # best-effort).
+    import threading
+
+    def _prewarm_blocks():
+        try:
+            sds = jax.ShapeDtypeStruct
+            D_ = model.dim_theta
+            progs["blocks"].lower(
+                sds((n_blocks, 2), jnp.uint32),
+                sds(model.alpha.shape, model.alpha.dtype),
+                sds(model.beta.shape, model.beta.dtype),
+                sds(model.kappa0.shape, model.kappa0.dtype),
+                sds((D_,), jnp.float32),
+                (
+                    sds((D_,), jnp.float32),
+                    sds((D_,), jnp.float32),
+                    sds((), jnp.int32),
+                ),
+                sds((n_blocks, win, R), jnp.float32),
+            ).compile()
+        except Exception:  # noqa: BLE001
+            pass
+
+    threading.Thread(target=_prewarm_blocks, daemon=True).start()
 
     # ---- 1. sequential theta warmup on the prefix -------------------------
     if config.estimate_parameters:
