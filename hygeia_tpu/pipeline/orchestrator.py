@@ -911,8 +911,9 @@ def _single_group_on_counts_batched(
 ):
     """ESTIMATE_PARAMETERS_AND_REGIMES for SEVERAL chromosomes in ONE
     vmapped device program (ragged lengths via the engine's t_limit
-    masking — theta/resampling decisions BYTE-identical per chromosome;
-    the smoothing means drift only at f32 reduction-order ulp under vmap.
+    masking — bit-exact per lane; across PROGRAM variants (batched vs
+    per-unit) XLA may reassociate f32 reductions, so per-chromosome
+    outputs equal the per-unit runs to reduction-order ulp.
     tests: test_t_limit_masking_matches_unbatched_run,
     test_batched_single_group_stage_matches_per_chromosome).
 
