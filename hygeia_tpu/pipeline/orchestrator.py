@@ -984,6 +984,36 @@ def _single_group_on_counts_batched(
             )
         )
         t_limits.append(tables[-1].shape[0])
+
+    if min(t_limits) >= 150_000:
+        # Large chromosomes: blocked-multi — ALL (chromosome, block) units
+        # of the batch ride one vmapped program with per-unit theta lanes
+        # (single_group/blocked.py), instead of one whole-chromosome lane
+        # per unit (better residency AND no t_limit freeze cost).
+        from hygeia_tpu.single_group.blocked import (
+            run_online_combined_inference_blocked_multi,
+        )
+
+        res_list = run_online_combined_inference_blocked_multi(
+            jax.random.PRNGKey(rng_seed),
+            model,
+            [np.asarray(t, np.float32) for t in thetas],
+            tables,
+            cfg,
+            block_size=49152,
+            halo=4096,
+        )
+        for i, (_pre, sg_dir, chrom, _g) in enumerate(units):
+            sg_dir = Path(sg_dir)
+            sg_dir.mkdir(parents=True, exist_ok=True)
+            res = res_list[i]
+            _write_sg_outputs(
+                sg_dir, chrom, positions_all[i],
+                np.asarray(res.regime_probs) if estimate_regimes else None,
+                np.asarray(res.theta_trace), R, kappa,
+            )
+        return
+
     t_max = max(t_limits)
     E = np.zeros((U, t_max, R), np.float32)
     for i, tab in enumerate(tables):

@@ -105,17 +105,33 @@ def _programs(model: SingleGroupModel, config: EngineConfig):
         )
 
     @jax.jit
-    def blocks(keys, alpha, beta, kappa0, theta0, adam0, E_blocks):
+    def warmup_multi(keys, alpha, beta, kappa0, theta_inits, E):
+        # Vmapped warmup chains — one per CHROMOSOME (the multi-chromosome
+        # blocked stage; each chromosome learns its own theta).
+        def one(key, th, E1):
+            res = run_online_combined_inference(
+                key, _model(alpha, beta, kappa0), th, E1, warm_cfg
+            )
+            n_upd = max(0, (E1.shape[0] - 1) // su)
+            upd_rows = res.theta_trace[jnp.arange(1, n_upd + 1) * su]
+            return res.final_theta, res.final_opt_state, upd_rows
+
+        return jax.vmap(one)(keys, theta_inits, E)
+
+    @jax.jit
+    def blocks(keys, alpha, beta, kappa0, theta0s, adam0s, E_blocks):
         # No t_limit: its whole-carry freeze (tree_map of where over psi and
         # the (win, R) output buffer) priced every step in HBM passes and
         # made the vmapped blocks SLOWER than the sequential chain (measured
         # 0.88x, round 5). All windows are full-length real sites instead —
         # the ragged tail is handled by overlapping the last window.
+        # theta0s/adam0s carry a PER-UNIT leading axis so blocks of SEVERAL
+        # chromosomes (each with its own warm theta) ride one program.
         model = _model(alpha, beta, kappa0)
 
-        def one(key, E):
+        def one(key, th0, ad0, E):
             res = run_online_combined_inference(
-                key, model, theta0, E, config, adam_init=adam0
+                key, model, th0, E, config, adam_init=ad0
             )
             # theta changes ONLY at update steps (t % su == 0): return the
             # update-step rows instead of the full (win, D) trace — the
@@ -135,9 +151,14 @@ def _programs(model: SingleGroupModel, config: EngineConfig):
                 upd_rows,
             )
 
-        return jax.vmap(one)(keys, E_blocks)
+        return jax.vmap(one)(keys, theta0s, adam0s, E_blocks)
 
-    progs = {"warmup": warmup, "single": single, "blocks": blocks}
+    progs = {
+        "warmup": warmup,
+        "warmup_multi": warmup_multi,
+        "single": single,
+        "blocks": blocks,
+    }
     _PROGRAMS[statics] = progs
     return progs
 
@@ -179,15 +200,19 @@ def aot_compile_jobs(
     if config.estimate_parameters:
         Tw = int(min(T, warmup_sites))
         jobs.append(
-            lambda: progs["warmup"]
-            .lower(key_sd, a_sd, b_sd, k_sd, th_sd, sds((Tw, R), jnp.float32))
+            lambda: progs["warmup_multi"]
+            .lower(
+                sds((1, 2), jnp.uint32), a_sd, b_sd, k_sd,
+                sds((1, D), jnp.float32), sds((1, Tw, R), jnp.float32),
+            )
             .compile()
         )
-    adam_sd = (th_sd, th_sd, sds((), jnp.int32))
+    th_u = sds((n_blocks, D), jnp.float32)
+    adam_sd = (th_u, th_u, sds((n_blocks,), jnp.int32))
     jobs.append(
         lambda: progs["blocks"]
         .lower(
-            sds((n_blocks, 2), jnp.uint32), a_sd, b_sd, k_sd, th_sd, adam_sd,
+            sds((n_blocks, 2), jnp.uint32), a_sd, b_sd, k_sd, th_u, adam_sd,
             sds((n_blocks, win, R), jnp.float32),
         )
         .compile()
@@ -210,24 +235,55 @@ def run_online_combined_inference_blocked(
 
     Returns an EngineResult whose regime_probs/theta_trace are assembled on
     the host from the per-block device outputs (see the module docstring
-    for the exact semantics of each field).
-    """
-    E = np.asarray(emissions, np.float32)
-    T, R = E.shape
-    n_blocks = max(1, -(-T // block_size))
-    win = block_size + halo
-    progs = _programs(model, config)
-    if n_blocks == 1 or T < win:
-        # One block degenerates to the sequential chain — run it directly
-        # (through the cached jitted program, not an eager trace).
-        return progs["single"](
-            key, model.alpha, model.beta, model.kappa0,
-            jnp.asarray(theta_init, jnp.float32), jnp.asarray(E),
-        )
-    D = model.dim_theta
+    for the exact semantics of each field)."""
+    return run_online_combined_inference_blocked_multi(
+        key, model, [theta_init], [emissions], config,
+        block_size=block_size, halo=halo, warmup_sites=warmup_sites,
+    )[0]
 
+
+def run_online_combined_inference_blocked_multi(
+    key,
+    model: SingleGroupModel,
+    theta_inits,  # [C] per-chromosome initial thetas
+    emissions_list,  # [C] per-chromosome (T_c, R) tables (equal T_c not required)
+    config: EngineConfig,
+    *,
+    block_size: int = 65536,
+    halo: int = 4096,
+    warmup_sites: int = 65536,
+):
+    """Blocked theta stage over SEVERAL chromosomes in one program set:
+    per-chromosome warmup chains run vmapped (cropped to the shared
+    min(T_c, warmup_sites) prefix length), then ALL (chromosome, block)
+    units ride ONE vmapped blocks program with per-unit (theta, ADAM)
+    lanes — the chip fills regardless of how the genome is split into
+    chromosomes. Returns [C] EngineResults.
+
+    Chromosomes too short to block (fewer than 2 blocks) fall back to the
+    sequential single program individually."""
+    C = len(emissions_list)
+    Es = [np.asarray(E, np.float32) for E in emissions_list]
+    R = Es[0].shape[1]
+    D = model.dim_theta
+    win = block_size + halo
     su = config.steps_per_update
-    theta_init_np = np.asarray(theta_init, np.float32)
+    progs = _programs(model, config)
+
+    results: list = [None] * C
+    blocked_idx = []
+    for c, E in enumerate(Es):
+        T = E.shape[0]
+        if max(1, -(-T // block_size)) == 1 or T < win:
+            # Degenerate: sequential chain through the cached program.
+            results[c] = progs["single"](
+                key, model.alpha, model.beta, model.kappa0,
+                jnp.asarray(theta_inits[c], jnp.float32), jnp.asarray(E),
+            )
+        else:
+            blocked_idx.append(c)
+    if not blocked_idx:
+        return results
 
     def _expand_trace(upd, j_lo, j_hi, base):
         # Row j of a chain's trace = base theta before the first update,
@@ -236,112 +292,146 @@ def run_online_combined_inference_blocked(
         rows = np.concatenate([np.asarray(base, np.float32)[None], upd], axis=0)
         return rows[np.minimum(j // su, len(upd))]
 
-    # AOT-compile the blocks program CONCURRENTLY with the warmup chain's
-    # execution: a fresh process otherwise pays its ~20 s compile-cache
-    # fetch serially between the two (program acquisition parallelises;
-    # best-effort).
+    # AOT-compile the blocks program CONCURRENTLY with the warmup chains'
+    # execution (program acquisition costs ~20 s even on cache hits and
+    # parallelises; best-effort).
     import threading
+
+    n_blocks_c = {
+        c: max(1, -(-Es[c].shape[0] // block_size)) for c in blocked_idx
+    }
+    n_units = sum(n_blocks_c.values())
 
     def _prewarm_blocks():
         try:
             sds = jax.ShapeDtypeStruct
-            D_ = model.dim_theta
+            th_sd = sds((n_units, D), jnp.float32)
             progs["blocks"].lower(
-                sds((n_blocks, 2), jnp.uint32),
+                sds((n_units, 2), jnp.uint32),
                 sds(model.alpha.shape, model.alpha.dtype),
                 sds(model.beta.shape, model.beta.dtype),
                 sds(model.kappa0.shape, model.kappa0.dtype),
-                sds((D_,), jnp.float32),
-                (
-                    sds((D_,), jnp.float32),
-                    sds((D_,), jnp.float32),
-                    sds((), jnp.int32),
-                ),
-                sds((n_blocks, win, R), jnp.float32),
+                th_sd,
+                (th_sd, th_sd, sds((n_units,), jnp.int32)),
+                sds((n_units, win, R), jnp.float32),
             ).compile()
         except Exception:  # noqa: BLE001
             pass
 
     threading.Thread(target=_prewarm_blocks, daemon=True).start()
 
-    # ---- 1. sequential theta warmup on the prefix -------------------------
+    # ---- 1. per-chromosome theta warmup prefixes (vmapped) ---------------
+    theta_init_np = {
+        c: np.asarray(theta_inits[c], np.float32) for c in blocked_idx
+    }
     if config.estimate_parameters:
-        Tw = int(min(T, warmup_sites))
-        theta0, adam0, upd_w = progs["warmup"](
-            key, model.alpha, model.beta, model.kappa0,
-            jnp.asarray(theta_init, jnp.float32), jnp.asarray(E[:Tw]),
+        Tw = int(min(warmup_sites, min(Es[c].shape[0] for c in blocked_idx)))
+        Ew = jnp.asarray(
+            np.stack([Es[c][:Tw] for c in blocked_idx])
+        )  # (Cb, Tw, R)
+        keys_w = jnp.stack([key] * len(blocked_idx))
+        th_w = jnp.stack(
+            [jnp.asarray(theta_init_np[c]) for c in blocked_idx]
         )
-        warm_trace = _expand_trace(np.asarray(upd_w), 0, Tw, theta_init_np)
+        theta0s_c, adam0s_c, upd_w = progs["warmup_multi"](
+            keys_w, model.alpha, model.beta, model.kappa0, th_w, Ew
+        )
+        upd_w = np.asarray(upd_w)
+        warm_traces = {
+            c: _expand_trace(upd_w[i], 0, Tw, theta_init_np[c])
+            for i, c in enumerate(blocked_idx)
+        }
     else:
-        theta0 = jnp.asarray(theta_init, jnp.float32)
-        adam0 = (
-            jnp.zeros((D,), jnp.float32),
-            jnp.zeros((D,), jnp.float32),
-            jnp.zeros((), jnp.int32),
+        theta0s_c = jnp.stack(
+            [jnp.asarray(theta_init_np[c]) for c in blocked_idx]
         )
-        warm_trace = None
+        Z = jnp.zeros((len(blocked_idx), D), jnp.float32)
+        adam0s_c = (Z, Z, jnp.zeros((len(blocked_idx),), jnp.int32))
+        warm_traces = {}
 
-    # ---- 2. halo-buffered block windows -----------------------------------
+    # ---- 2. halo-buffered block windows for ALL chromosomes --------------
     # Every window holds exactly `win` REAL sites (no padding, no t_limit —
-    # whose whole-carry freeze measured slower than sequential). Block b
-    # outputs [b*bs, (b+1)*bs) from window [b*bs - halo, b*bs - halo + win);
-    # block 0 cold-starts at site 0 like the sequential chain, and the LAST
-    # block's window is anchored at the chromosome end, overlapping its
-    # predecessor (its output range is just the tail [lo, T)).
-    E_blocks = np.zeros((n_blocks, win, R), np.float32)
-    out_ranges = []  # (within-block start, global start, global end)
-    for b in range(n_blocks):
-        g_start = b * block_size
-        g_end = min(T, g_start + block_size)
-        if b == n_blocks - 1:
-            s = T - win  # anchor the ragged tail at the end (overlap)
-        else:
-            s = max(0, g_start - halo)
-        E_blocks[b] = E[s : s + win]
-        out_ranges.append((g_start - s, g_start, g_end))
+    # whose whole-carry freeze measured slower than sequential). Block b of
+    # a chromosome outputs [b*bs, (b+1)*bs) from window
+    # [b*bs - halo, b*bs - halo + win); block 0 cold-starts at site 0 like
+    # the sequential chain, and the LAST block's window is anchored at the
+    # chromosome end, overlapping its predecessor.
+    E_blocks = np.zeros((n_units, win, R), np.float32)
+    unit_meta = []  # (chrom idx, within-block start, global start, global end)
+    u = 0
+    for ci, c in enumerate(blocked_idx):
+        E = Es[c]
+        T = E.shape[0]
+        for b in range(n_blocks_c[c]):
+            g_start = b * block_size
+            g_end = min(T, g_start + block_size)
+            if b == n_blocks_c[c] - 1:
+                s = T - win  # anchor the ragged tail at the end (overlap)
+            else:
+                s = max(0, g_start - halo)
+            E_blocks[u] = E[s : s + win]
+            unit_meta.append((ci, g_start - s, g_start, g_end))
+            u += 1
 
-    keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(
-        jnp.arange(_BLOCK_KEY_SALT, _BLOCK_KEY_SALT + n_blocks, dtype=jnp.uint32)
+    # Keys use the WITHIN-chromosome block index (like the orchestrator's
+    # sequential path, which reuses one rng_seed per chromosome), so a
+    # chromosome's multi-batch realisation matches its single-chromosome
+    # blocked run.
+    block_ids = jnp.asarray(
+        [_BLOCK_KEY_SALT + m[2] // block_size for m in unit_meta],
+        dtype=jnp.uint32,
     )
+    keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(block_ids)
+    ci_arr = np.asarray([m[0] for m in unit_meta])
+    theta0s = jnp.asarray(np.asarray(theta0s_c)[ci_arr])
+    adam0s = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[ci_arr]), adam0s_c)
     res_b = progs["blocks"](
-        keys, model.alpha, model.beta, model.kappa0, theta0, adam0,
+        keys, model.alpha, model.beta, model.kappa0, theta0s, adam0s,
         jnp.asarray(E_blocks),
     )
 
-    # ---- 3. host assembly --------------------------------------------------
+    # ---- 3. host assembly -------------------------------------------------
     log_z_b, probs_b, valid_b, spill_b, final_theta_b, score_b, upd_b = res_b
-    probs_b = np.asarray(probs_b)  # (n_blocks, win, R)
+    probs_b = np.asarray(probs_b)  # (n_units, win, R)
     valid_b = np.asarray(valid_b)
-    upd_b = np.asarray(upd_b)  # (n_blocks, n_upd, D) update-step theta rows
-    theta0_np = np.asarray(theta0)
-    probs = np.zeros((T, R), np.float32)
-    valid = np.zeros((T,), bool)
-    trace = np.zeros((T, D), np.float32)
-    for b, (lo, g_start, g_end) in enumerate(out_ranges):
-        n = g_end - g_start
-        probs[g_start:g_end] = probs_b[b, lo : lo + n]
-        valid[g_start:g_end] = valid_b[b, lo : lo + n]
-        trace[g_start:g_end] = _expand_trace(upd_b[b], lo, lo + n, theta0_np)
-    if warm_trace is not None:
-        # The warmup chain's trace is the sequential-parity prefix.
-        n = min(len(warm_trace), T)
-        trace[:n] = warm_trace[:n]
+    upd_b = np.asarray(upd_b)  # (n_units, n_upd, D) update-step theta rows
+    log_z_b = np.asarray(log_z_b)
+    spill_b = np.asarray(spill_b)
+    final_theta_b = np.asarray(final_theta_b)
+    score_b = np.asarray(score_b)
+    theta0s_np = np.asarray(theta0s_c)
 
-    if config.estimate_parameters:
-        final_theta = np.mean(np.asarray(final_theta_b), axis=0)
-    else:
-        final_theta = np.asarray(theta_init, np.float32)
-    trace[-1] = final_theta  # theta_{chrom}.csv.gz reads the last row
-
-    return EngineResult(
-        regime_probs=probs,
-        regime_valid=valid,
-        theta_trace=trace,
-        log_normalizing_constant=np.float64(
-            np.sum(np.asarray(log_z_b))
-        ),
-        spill_count=np.sum(np.asarray(spill_b)),
-        final_theta=final_theta,
-        final_score=np.mean(np.asarray(score_b), axis=0),
-        final_opt_state=None,
-    )
+    for ci, c in enumerate(blocked_idx):
+        T = Es[c].shape[0]
+        probs = np.zeros((T, R), np.float32)
+        valid = np.zeros((T,), bool)
+        trace = np.zeros((T, D), np.float32)
+        rows = [u for u, m in enumerate(unit_meta) if m[0] == ci]
+        for u in rows:
+            _, lo, g_start, g_end = unit_meta[u]
+            n = g_end - g_start
+            probs[g_start:g_end] = probs_b[u, lo : lo + n]
+            valid[g_start:g_end] = valid_b[u, lo : lo + n]
+            trace[g_start:g_end] = _expand_trace(
+                upd_b[u], lo, lo + n, theta0s_np[ci]
+            )
+        if c in warm_traces:
+            # The warmup chain's trace is the sequential-parity prefix.
+            n = min(len(warm_traces[c]), T)
+            trace[:n] = warm_traces[c][:n]
+        if config.estimate_parameters:
+            final_theta = np.mean(final_theta_b[rows], axis=0)
+        else:
+            final_theta = theta_init_np[c]
+        trace[-1] = final_theta  # theta_{chrom}.csv.gz reads the last row
+        results[c] = EngineResult(
+            regime_probs=probs,
+            regime_valid=valid,
+            theta_trace=trace,
+            log_normalizing_constant=np.float64(np.sum(log_z_b[rows])),
+            spill_count=np.sum(spill_b[rows]),
+            final_theta=final_theta,
+            final_score=np.mean(score_b[rows], axis=0),
+            final_opt_state=None,
+        )
+    return results

@@ -114,6 +114,49 @@ def test_blocked_theta_recovery_comparable_to_sequential():
     np.testing.assert_array_equal(trace[-1], np.asarray(blk.final_theta))
 
 
+def test_blocked_multi_matches_per_chromosome():
+    """Several chromosomes' blocks ride ONE vmapped program with per-unit
+    theta lanes; each chromosome's outputs must match its single-chromosome
+    blocked run (same keys by construction; values to f32 reduction ulp)."""
+    from hygeia_tpu.single_group.blocked import (
+        run_online_combined_inference_blocked_multi,
+    )
+
+    model, theta_true, E1, _ = _sim_setup(T=620, seed=2)
+    _, _, E2, _ = _sim_setup(T=500, seed=6)
+    rng = np.random.default_rng(4)
+    theta_init = theta_true + rng.normal(scale=0.8, size=len(theta_true))
+    cfg = EngineConfig(
+        n_particles_max=50,
+        estimate_regimes=True,
+        estimate_parameters=True,
+        steps_per_update=50,
+        learning_rate_factor=0.2,
+    )
+    key = jax.random.PRNGKey(3)
+    kw = dict(block_size=200, halo=64, warmup_sites=200)
+    singles = [
+        run_online_combined_inference_blocked(
+            key, model, theta_init, E, cfg, **kw
+        )
+        for E in (E1, E2)
+    ]
+    multi = run_online_combined_inference_blocked_multi(
+        key, model, [theta_init, theta_init], [E1, E2], cfg, **kw
+    )
+    for c in range(2):
+        np.testing.assert_allclose(
+            np.asarray(multi[c].final_theta),
+            np.asarray(singles[c].final_theta),
+            rtol=2e-4, atol=1e-4, err_msg=f"chrom {c}",
+        )
+        p_m = np.asarray(multi[c].regime_probs)
+        p_s = np.asarray(singles[c].regime_probs)
+        agree = (p_m.argmax(1) == p_s.argmax(1)).mean()
+        assert agree > 0.97, (c, agree)
+        assert np.abs(p_m - p_s).mean() < 0.02, c
+
+
 def test_blocked_combined_pipeline_stage(tmp_path):
     """_single_group_on_counts with the blocked threshold lowered writes the
     same file set with consistent shapes, and its theta feeds downstream."""
