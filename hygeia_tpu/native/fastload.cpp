@@ -90,7 +90,8 @@ struct LoadHandle {
   int64_t n_cols = 0;
 };
 
-void* fastload_open(const char* path, int64_t* n_rows, int64_t* n_cols) {
+void* fastload_open_ex(const char* path, int64_t skip_rows, int64_t* n_rows,
+                       int64_t* n_cols) {
   auto* h = new LoadHandle();
   if (!read_all(path, &h->data)) {
     delete h;
@@ -105,18 +106,27 @@ void* fastload_open(const char* path, int64_t* n_rows, int64_t* n_cols) {
   if (h->offsets.back() != static_cast<int64_t>(h->data.size())) {
     h->offsets.push_back(h->data.size());  // file without trailing newline
   }
+  // Skip header lines (aggregate-stage tables carry one).
+  if (skip_rows > 0 &&
+      skip_rows < static_cast<int64_t>(h->offsets.size())) {
+    h->offsets.erase(h->offsets.begin(), h->offsets.begin() + skip_rows);
+  }
   int64_t rows = static_cast<int64_t>(h->offsets.size()) - 1;
   // Drop trailing empty line(s).
   while (rows > 0 && h->offsets[rows] - h->offsets[rows - 1] <= 1) --rows;
-  // Column count from the first row.
+  // Column count from the first data row: comma OR tab separated.
   int64_t cols = rows > 0 ? 1 : 0;
   for (int64_t i = h->offsets[0]; i < h->offsets[1]; ++i) {
-    if (h->data[i] == ',') ++cols;
+    if (h->data[i] == ',' || h->data[i] == '\t') ++cols;
   }
   h->n_cols = cols;
   *n_rows = rows;
   *n_cols = cols;
   return h;
+}
+
+void* fastload_open(const char* path, int64_t* n_rows, int64_t* n_cols) {
+  return fastload_open_ex(path, 0, n_rows, n_cols);
 }
 
 // Second pass: parse into caller-allocated (n_rows, n_cols) float64 buffer.

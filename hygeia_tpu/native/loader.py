@@ -47,6 +47,16 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    try:
+        lib.fastload_open_ex.restype = ctypes.c_void_p
+        lib.fastload_open_ex.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:
+        pass  # stale .so; rebuilt on demand
     lib.fastload_parse.restype = ctypes.c_int
     lib.fastload_parse.argtypes = [
         ctypes.c_void_p,
@@ -114,8 +124,10 @@ def write_int_table_gz(path, values, *, index=None, header=None, sep="\t",
     return rc == 0
 
 
-def load_matrix(path, n_threads=None):
-    """Load a (gzip) comma-separated numeric matrix as float64.
+def load_matrix(path, n_threads=None, skip_rows=0):
+    """Load a (gzip) comma- or tab-separated numeric matrix as float64,
+    optionally skipping header lines (the aggregate-stage tables carry one
+    header row + a pos index column; callers slice the index off).
 
     Returns None if the native library is unavailable (caller falls back)."""
     lib = _get_lib()
@@ -123,7 +135,16 @@ def load_matrix(path, n_threads=None):
         return None
     rows = ctypes.c_int64(0)
     cols = ctypes.c_int64(0)
-    handle = lib.fastload_open(str(path).encode(), ctypes.byref(rows), ctypes.byref(cols))
+    if skip_rows and not hasattr(lib, "fastload_open_ex"):
+        return None
+    if skip_rows:
+        handle = lib.fastload_open_ex(
+            str(path).encode(), skip_rows, ctypes.byref(rows), ctypes.byref(cols)
+        )
+    else:
+        handle = lib.fastload_open(
+            str(path).encode(), ctypes.byref(rows), ctypes.byref(cols)
+        )
     if not handle:
         return None
     try:

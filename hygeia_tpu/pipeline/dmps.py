@@ -26,6 +26,18 @@ def _regime_freq_frame(regimes, rows, n_regimes, prefix):
     )
 
 
+def _read_regime_table(path):
+    """(T, B) int regimes from an aggregate table (header + pos index) via
+    the native loader (pandas' read of two ~400k x 51 tables was most of
+    the DMP stage wall); pandas fallback."""
+    from hygeia_tpu.native.loader import load_matrix
+
+    m = load_matrix(path, skip_rows=1)
+    if m is not None:
+        return m[:, 1:].astype(np.int64)
+    return pd.read_csv(path, sep="\t").set_index("pos").to_numpy()
+
+
 def call_dmps(
     results_dir,
     output_dir,
@@ -36,12 +48,12 @@ def call_dmps(
     test_regime_combinations=False,
 ):
     os.makedirs(output_dir, exist_ok=True)
-    ctrl = pd.read_csv(
-        os.path.join(results_dir, f"control_regimes_chrom_{chrom}.csv.gz"), sep="\t"
-    ).set_index("pos").to_numpy()
-    case = pd.read_csv(
-        os.path.join(results_dir, f"case_regimes_chrom_{chrom}.csv.gz"), sep="\t"
-    ).set_index("pos").to_numpy()
+    ctrl = _read_regime_table(
+        os.path.join(results_dir, f"control_regimes_chrom_{chrom}.csv.gz")
+    )
+    case = _read_regime_table(
+        os.path.join(results_dir, f"case_regimes_chrom_{chrom}.csv.gz")
+    )
     num_particles = ctrl.shape[-1]
     # Posterior probability of the null (same regime in both groups).
     null_stats = 1.0 - np.sum(ctrl != case, axis=1) / num_particles
