@@ -227,7 +227,87 @@ void format_rows(const int64_t* index, const int64_t* data, int64_t n_cols,
 
 }  // namespace
 
+namespace {
+
+void format_rows_f(const int64_t* index, const double* data, int64_t n_cols,
+                   int64_t row_begin, int64_t row_end, char sep, int level,
+                   int sig_digits, std::string* out_member) {
+  std::string raw;
+  raw.reserve(static_cast<size_t>(row_end - row_begin) * (n_cols + 1) * 12);
+  std::vector<char> line((n_cols + 2) * 32 + 2);
+  for (int64_t r = row_begin; r < row_end; ++r) {
+    char* p = line.data();
+    if (index) {
+      p = write_int(p, index[r]);
+      *p++ = sep;
+    }
+    const double* row = data + r * n_cols;
+    for (int64_t c = 0; c < n_cols; ++c) {
+      if (c) *p++ = sep;
+      double v = row[c];
+      if (v == static_cast<double>(static_cast<int64_t>(v)) &&
+          v > -1e15 && v < 1e15) {
+        // Integral values print without a decimal point, then ".0" —
+        // matching repr(float) for integral floats ("1.0", "0.0").
+        p = write_int(p, static_cast<int64_t>(v));
+        *p++ = '.';
+        *p++ = '0';
+      } else {
+        p += std::snprintf(p, 32, "%.*g", sig_digits, v);
+      }
+    }
+    *p++ = '\n';
+    raw.append(line.data(), static_cast<size_t>(p - line.data()));
+  }
+  *out_member = gzip_member(raw, level);
+}
+
+}  // namespace
+
 extern "C" {
+
+// Write a float table as a gzip CSV with %.{sig}g formatting (sig=9
+// round-trips float32 exactly): optional header, optional int64 index
+// column, (n_rows, n_cols) float64 values. Returns 0 on success.
+int fastwrite_ftable(const char* path, const char* header,
+                     const int64_t* index, const double* data, int64_t n_rows,
+                     int64_t n_cols, char sep, int level, int n_threads,
+                     int sig_digits) {
+  if (n_threads < 1) n_threads = 1;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  if (chunk < 1) chunk = 1;
+  std::vector<std::string> members(static_cast<size_t>(n_threads) + 1);
+  std::vector<int64_t> ranges(static_cast<size_t>(n_threads) + 1, 0);
+  if (header && header[0]) {
+    std::string h(header);
+    h.push_back('\n');
+    members[0] = gzip_member(h, level);
+    if (members[0].empty()) return 1;
+  }
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n_rows, lo + chunk);
+    if (lo >= hi) break;
+    ranges[static_cast<size_t>(t) + 1] = hi - lo;
+    workers.emplace_back(format_rows_f, index, data, n_cols, lo, hi, sep,
+                         level, sig_digits,
+                         &members[static_cast<size_t>(t) + 1]);
+  }
+  for (auto& w : workers) w.join();
+  for (size_t i = 1; i < members.size(); ++i) {
+    if (ranges[i] > 0 && members[i].empty()) return 1;
+  }
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  for (auto& m : members) {
+    if (!m.empty() && std::fwrite(m.data(), 1, m.size(), f) != m.size()) {
+      std::fclose(f);
+      return 1;
+    }
+  }
+  return std::fclose(f) == 0 ? 0 : 1;
+}
 
 // Write an integer table as a gzip CSV: optional header line (verbatim,
 // '\n' appended), optional int64 index column, then (n_rows, n_cols) int64

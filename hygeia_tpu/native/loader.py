@@ -79,8 +79,21 @@ def _get_lib():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.fastwrite_ftable.restype = ctypes.c_int
+        lib.fastwrite_ftable.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_char,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
     except AttributeError:
-        # Stale .so from before the writer existed; rebuild on demand.
+        # Stale .so from before the writers existed; rebuild on demand.
         pass
     _lib = lib
     return lib
@@ -120,6 +133,43 @@ def write_int_table_gz(path, values, *, index=None, header=None, sep="\t",
         sep.encode(),
         int(level),
         n_threads or min(8, os.cpu_count() or 1),
+    )
+    return rc == 0
+
+
+def write_float_table_gz(path, values, *, index=None, header=None, sep=",",
+                         level=1, sig_digits=9, n_threads=None):
+    """Write a float table as gzip CSV via the native writer
+    (fastwrite_ftable): %.9g round-trips float32 values exactly (readers
+    parse identical f32), though the textual form can differ from pandas'
+    shortest-repr (documented in PARITY.md). pandas' float to_csv cost
+    ~10 s over the theta-stage outputs at chromosome scale.
+
+    Returns True on success; False if unavailable (caller falls back)."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "fastwrite_ftable"):
+        return False
+    vals = np.ascontiguousarray(np.asarray(values), dtype=np.float64)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    n_rows, n_cols = vals.shape
+    idx_ptr = None
+    if index is not None:
+        idx = np.ascontiguousarray(np.asarray(index), dtype=np.int64)
+        if len(idx) != n_rows:
+            raise ValueError("index length mismatch")
+        idx_ptr = idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    rc = lib.fastwrite_ftable(
+        str(path).encode(),
+        header.encode() if header else None,
+        idx_ptr,
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_rows,
+        n_cols,
+        sep.encode(),
+        int(level),
+        n_threads or min(8, os.cpu_count() or 1),
+        int(sig_digits),
     )
     return rc == 0
 

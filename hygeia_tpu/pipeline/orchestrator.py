@@ -867,23 +867,40 @@ def _write_sg_outputs(sg_dir, chrom, positions, probs, trace, R, kappa):
     from hygeia_tpu.utils import io as hio
 
     sg_dir = Path(sg_dir)
-    # Level-1 gzip: the theta trace is (T, dim_theta) floats — at level 9
-    # these two writes cost ~half the warm stage wall at chromosome scale
-    # (decompressed content identical; CLAUDE.md rule 6e).
+    # Level-1 gzip + the native float writer: the theta trace is
+    # (T, dim_theta) floats and pandas' float formatting alone cost ~10 s
+    # over these two files at chromosome scale (%.9g round-trips the f32
+    # values exactly; text may differ from pandas' shortest repr —
+    # PARITY.md). pandas fallback when the library is unavailable.
+    from hygeia_tpu.native.loader import write_float_table_gz
+
     gz1 = {"method": "gzip", "compresslevel": 1}
     if probs is not None:
-        df = pd.DataFrame(probs, columns=[f"regime_{i + 1}" for i in range(R)])
-        df.insert(0, "genomic_position", positions[: len(df)])
-        df.to_csv(
-            sg_dir / f"regime_probabilities_{chrom}.csv.gz", index=False,
+        cols = [f"regime_{i + 1}" for i in range(R)]
+        pos = np.asarray(positions[: len(probs)])
+        if not write_float_table_gz(
+            sg_dir / f"regime_probabilities_{chrom}.csv.gz",
+            probs,
+            index=pos,
+            header="genomic_position," + ",".join(cols),
+        ):
+            df = pd.DataFrame(probs, columns=cols)
+            df.insert(0, "genomic_position", pos)
+            df.to_csv(
+                sg_dir / f"regime_probabilities_{chrom}.csv.gz", index=False,
+                compression=gz1,
+            )
+
+    theta_cols = [f"theta_{i + 1}" for i in range(trace.shape[1])]
+    if not write_float_table_gz(
+        sg_dir / f"theta_trace_{chrom}.csv.gz",
+        trace,
+        header=",".join(theta_cols),
+    ):
+        pd.DataFrame(trace, columns=theta_cols).to_csv(
+            sg_dir / f"theta_trace_{chrom}.csv.gz", index=False,
             compression=gz1,
         )
-
-    pd.DataFrame(
-        trace, columns=[f"theta_{i + 1}" for i in range(trace.shape[1])]
-    ).to_csv(
-        sg_dir / f"theta_trace_{chrom}.csv.gz", index=False, compression=gz1
-    )
     final = theta_to_parameters(trace[-1], R)
     pd.DataFrame(final["p"], columns=[f"regime_{i + 1}" for i in range(R)]).to_csv(
         sg_dir / f"p_{chrom}.csv.gz", index=False

@@ -65,6 +65,36 @@ def test_fastwrite_matches_pandas_to_csv(tmp_path):
         np.testing.assert_array_equal(rt.index.to_numpy(), idx)
 
 
+def test_fastwrite_float_table_roundtrip(tmp_path):
+    """The float writer's contract: %.9g round-trips float32 VALUES exactly
+    (textual form may differ from pandas' shortest repr — PARITY.md), with
+    pandas-style integral-float formatting ('1.0') and an int index column."""
+    import pandas as pd
+
+    from hygeia_tpu.native.loader import write_float_table_gz
+
+    rng = np.random.default_rng(2)
+    probs = rng.random((3000, 6)).astype(np.float32)
+    probs[0, 0] = 1.0
+    probs[1, 1] = 0.0
+    pos = (np.arange(3000) * 41 + 7).astype(np.int64)
+    p = tmp_path / "probs.csv.gz"
+    assert write_float_table_gz(
+        p, probs, index=pos,
+        header="genomic_position," + ",".join(f"r{i}" for i in range(6)),
+    )
+    df = pd.read_csv(p)
+    np.testing.assert_array_equal(df.iloc[:, 0].to_numpy(), pos)
+    np.testing.assert_array_equal(
+        df.iloc[:, 1:].to_numpy().astype(np.float32), probs
+    )
+    with gzip.open(p, "rt") as f:
+        header = f.readline().strip()
+        first = f.readline()
+    assert header.startswith("genomic_position,r0")
+    assert ",1.0," in ("," + first) or first.split(",")[1] == "1.0"
+
+
 def test_fastwrite_no_index_no_header(tmp_path):
     arr = np.array([[1, 2], [3, 4]], np.int64)
     p = tmp_path / "plain.csv.gz"
