@@ -713,7 +713,6 @@ def infer_chromosome_streamed(
                     t_chunk = time.time() - t0
                     if n_pad:
                         chunk = chunk[: len(chunk) - n_pad]
-                    split_v, regime_v = _traj_functionals_np(traj_np, R)
                     for i, (b, s) in enumerate(chunk):
                         d = int(degen_v[i])
                         if d:
@@ -721,53 +720,59 @@ def infer_chromosome_streamed(
                                 f"WARNING: batch {b} seed {s}: {d} degenerate "
                                 "filter steps"
                             )
+                        all_log_norm[b][s][N] = float(log_z_v[i])
+                        times[b][s][N] = t_chunk / len(chunk)
+
+                    # The ENTIRE per-unit postprocess (functional means over
+                    # the (T, B) trajectory, archive slicing, 5 file writes)
+                    # rides the pool: numpy reductions and zipfile CRC both
+                    # release the GIL, so the ~1 s/unit of host work runs on
+                    # both cores and overlaps any remaining device pulls
+                    # instead of serialising after the chunk. Joined before
+                    # the flags files below.
+                    def _postprocess(i, b, s, traj_np=traj_np, N=N):
                         _, ret, _, path = wins[b]
                         traj = traj_np[i]
-                        # Archive writes ride a small thread pool so the zlib
-                        # compression (which releases the GIL) overlaps the next
-                        # chunk's device dispatch/pull (~1 s x 3 archives x unit
-                        # on the 2-core host otherwise serialises after every
-                        # chunk). Joined before the flags files below.
-                        # level=0 (stored): the level-1 deflate of ~25 s of
-                        # archives is CPU-bound on the 2-core host and cannot
-                        # overlap a single-chunk dispatch (savez_fast docstring).
-                        io_futures.append(_io_pool.submit(
-                            savez_fast,
+                        split_u, regime_u = _traj_functionals_np(
+                            traj_np[i : i + 1], R
+                        )
+                        # level=0 (stored): archive deflate is CPU-bound on
+                        # this host (savez_fast docstring).
+                        savez_fast(
                             os.path.join(
                                 path,
                                 f"optimal_backward_particles_merged_state_{N}_{s}",
                             ),
                             traj[:, :, 0].astype(np.int16)[ret],
                             0,
-                        ))
-                        io_futures.append(_io_pool.submit(
-                            savez_fast,
+                        )
+                        savez_fast(
                             os.path.join(
                                 path,
                                 f"optimal_backward_particles_control_state_{N}_{s}",
                             ),
                             traj[:, :, 1:3].astype(np.int32)[ret],
                             0,
-                        ))
-                        io_futures.append(_io_pool.submit(
-                            savez_fast,
+                        )
+                        savez_fast(
                             os.path.join(
                                 path,
                                 f"optimal_backward_particles_case_state_{N}_{s}",
                             ),
                             traj[:, :, 3:5].astype(np.int32)[ret],
                             0,
-                        ))
+                        )
                         savez_fast(
                             os.path.join(path, f"optimal_split_probs_{N}_{s}"),
-                            split_v[i],
+                            split_u[0],
                         )
                         savez_fast(
                             os.path.join(path, f"optimal_regime_probs_{N}_{s}"),
-                            regime_v[i],
+                            regime_u[0],
                         )
-                        all_log_norm[b][s][N] = float(log_z_v[i])
-                        times[b][s][N] = t_chunk / len(chunk)
+
+                    for i, (b, s) in enumerate(chunk):
+                        io_futures.append(_io_pool.submit(_postprocess, i, b, s))
 
     finally:
         # Join/shut the writer pool even when an attempt raises (the
