@@ -106,18 +106,24 @@ void* fastload_open_ex(const char* path, int64_t skip_rows, int64_t* n_rows,
   if (h->offsets.back() != static_cast<int64_t>(h->data.size())) {
     h->offsets.push_back(h->data.size());  // file without trailing newline
   }
-  // Skip header lines (aggregate-stage tables carry one).
-  if (skip_rows > 0 &&
-      skip_rows < static_cast<int64_t>(h->offsets.size())) {
-    h->offsets.erase(h->offsets.begin(), h->offsets.begin() + skip_rows);
+  // Skip header lines (aggregate-stage tables carry one). Skipping at or
+  // past the last line leaves ZERO data rows (never the header parsed as
+  // data), and the column scan below is guarded for the empty case.
+  if (skip_rows > 0) {
+    int64_t drop = std::min(
+        skip_rows, static_cast<int64_t>(h->offsets.size()) - 1);
+    h->offsets.erase(h->offsets.begin(), h->offsets.begin() + drop);
   }
   int64_t rows = static_cast<int64_t>(h->offsets.size()) - 1;
   // Drop trailing empty line(s).
   while (rows > 0 && h->offsets[rows] - h->offsets[rows - 1] <= 1) --rows;
   // Column count from the first data row: comma OR tab separated.
-  int64_t cols = rows > 0 ? 1 : 0;
-  for (int64_t i = h->offsets[0]; i < h->offsets[1]; ++i) {
-    if (h->data[i] == ',' || h->data[i] == '\t') ++cols;
+  int64_t cols = 0;
+  if (rows > 0) {
+    cols = 1;
+    for (int64_t i = h->offsets[0]; i < h->offsets[1]; ++i) {
+      if (h->data[i] == ',' || h->data[i] == '\t') ++cols;
+    }
   }
   h->n_cols = cols;
   *n_rows = rows;
@@ -262,17 +268,13 @@ void format_rows_f(const int64_t* index, const double* data, int64_t n_cols,
   *out_member = gzip_member(raw, level);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Write a float table as a gzip CSV with %.{sig}g formatting (sig=9
-// round-trips float32 exactly): optional header, optional int64 index
-// column, (n_rows, n_cols) float64 values. Returns 0 on success.
-int fastwrite_ftable(const char* path, const char* header,
-                     const int64_t* index, const double* data, int64_t n_rows,
-                     int64_t n_cols, char sep, int level, int n_threads,
-                     int sig_digits) {
+// Shared fan-out: format per-thread row ranges with `fmt` into independent
+// gzip members (header first), verify, and write the file. Both the int
+// and float writers delegate here (a previous revision duplicated the
+// ~40-line body; round-5 review finding).
+template <typename Fmt>
+int write_table_members(const char* path, const char* header, int64_t n_rows,
+                        int level, int n_threads, Fmt fmt) {
   if (n_threads < 1) n_threads = 1;
   int64_t chunk = (n_rows + n_threads - 1) / n_threads;
   if (chunk < 1) chunk = 1;
@@ -290,13 +292,11 @@ int fastwrite_ftable(const char* path, const char* header,
     int64_t hi = std::min(n_rows, lo + chunk);
     if (lo >= hi) break;
     ranges[static_cast<size_t>(t) + 1] = hi - lo;
-    workers.emplace_back(format_rows_f, index, data, n_cols, lo, hi, sep,
-                         level, sig_digits,
-                         &members[static_cast<size_t>(t) + 1]);
+    workers.emplace_back(fmt, lo, hi, &members[static_cast<size_t>(t) + 1]);
   }
   for (auto& w : workers) w.join();
   for (size_t i = 1; i < members.size(); ++i) {
-    if (ranges[i] > 0 && members[i].empty()) return 1;
+    if (ranges[i] > 0 && members[i].empty()) return 1;  // deflate failed
   }
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
@@ -309,46 +309,36 @@ int fastwrite_ftable(const char* path, const char* header,
   return std::fclose(f) == 0 ? 0 : 1;
 }
 
+}  // namespace
+
+extern "C" {
+
+// Write a float table as a gzip CSV with %.{sig}g formatting (sig=9
+// round-trips float32 exactly): optional header, optional int64 index
+// column, (n_rows, n_cols) float64 values. Returns 0 on success.
+int fastwrite_ftable(const char* path, const char* header,
+                     const int64_t* index, const double* data, int64_t n_rows,
+                     int64_t n_cols, char sep, int level, int n_threads,
+                     int sig_digits) {
+  return write_table_members(
+      path, header, n_rows, level, n_threads,
+      [=](int64_t lo, int64_t hi, std::string* out) {
+        format_rows_f(index, data, n_cols, lo, hi, sep, level, sig_digits,
+                      out);
+      });
+}
+
 // Write an integer table as a gzip CSV: optional header line (verbatim,
 // '\n' appended), optional int64 index column, then (n_rows, n_cols) int64
 // values. Returns 0 on success.
 int fastwrite_table(const char* path, const char* header, const int64_t* index,
                     const int64_t* data, int64_t n_rows, int64_t n_cols,
                     char sep, int level, int n_threads) {
-  if (n_threads < 1) n_threads = 1;
-  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
-  if (chunk < 1) chunk = 1;
-  std::vector<std::string> members(static_cast<size_t>(n_threads) + 1);
-  std::vector<int64_t> ranges(static_cast<size_t>(n_threads) + 1, 0);
-  if (header && header[0]) {
-    std::string h(header);
-    h.push_back('\n');
-    members[0] = gzip_member(h, level);
-    if (members[0].empty()) return 1;
-  }
-  std::vector<std::thread> workers;
-  for (int t = 0; t < n_threads; ++t) {
-    int64_t lo = t * chunk;
-    int64_t hi = std::min(n_rows, lo + chunk);
-    if (lo >= hi) break;
-    ranges[static_cast<size_t>(t) + 1] = hi - lo;
-    workers.emplace_back(format_rows, index, data, n_cols, lo, hi, sep, level,
-                         &members[static_cast<size_t>(t) + 1]);
-  }
-  for (auto& w : workers) w.join();
-  for (size_t i = 1; i < members.size(); ++i) {
-    if (ranges[i] > 0 && members[i].empty()) return 1;  // deflate failed
-  }
-  FILE* f = std::fopen(path, "wb");
-  if (!f) return 1;
-  for (auto& m : members) {
-    if (!m.empty() &&
-        std::fwrite(m.data(), 1, m.size(), f) != m.size()) {
-      std::fclose(f);
-      return 1;
-    }
-  }
-  return std::fclose(f) == 0 ? 0 : 1;
+  return write_table_members(
+      path, header, n_rows, level, n_threads,
+      [=](int64_t lo, int64_t hi, std::string* out) {
+        format_rows(index, data, n_cols, lo, hi, sep, level, out);
+      });
 }
 
 }  // extern "C"

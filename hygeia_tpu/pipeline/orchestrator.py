@@ -330,9 +330,11 @@ def run_two_group(
                     )
                 )
                 jobs = []
-                if len(chroms) == 1 and n_pos >= 150_000:
-                    # The blocked theta stage will run (thresholds mirror
-                    # _single_group_on_counts).
+                from hygeia_tpu.single_group import theta_config as _tc
+
+                if len(chroms) == 1 and n_pos >= _tc.THETA_BLOCK_THRESHOLD:
+                    # The blocked theta stage will run (same thresholds as
+                    # _single_group_on_counts, via theta_config).
                     from hygeia_tpu.single_group.blocked import (
                         aot_compile_jobs as _theta_jobs,
                     )
@@ -766,9 +768,9 @@ def _single_group_on_counts(
     estimate_regimes=True,
     estimate_parameters=True,
     theta_fixed=None,
-    theta_block_size=49152,  # measured best on the v5e (tools/blocked_theta_bench)
-    theta_halo=4096,
-    theta_block_threshold=150_000,
+    theta_block_size=None,  # default: theta_config.THETA_BLOCK_SIZE
+    theta_halo=None,
+    theta_block_threshold=None,
 ):
     """Run the single-group engine directly on preprocessed count matrices
     and write the reference-named outputs (theta_{chrom}.csv.gz etc.)."""
@@ -814,6 +816,14 @@ def _single_group_on_counts(
         learning_rate_exponent=learning_rate_exponent,
         learning_rate_factor=learning_rate_factor,
     )
+    from hygeia_tpu.single_group import theta_config as _tc
+
+    if theta_block_size is None:
+        theta_block_size = _tc.THETA_BLOCK_SIZE
+    if theta_halo is None:
+        theta_halo = _tc.THETA_HALO
+    if theta_block_threshold is None:
+        theta_block_threshold = _tc.THETA_BLOCK_THRESHOLD
     T = E.shape[0]
     if theta_block_size and T >= theta_block_threshold:
         # Within-chromosome blocked path: one sequential chain leaves ~87%
@@ -1002,7 +1012,9 @@ def _single_group_on_counts_batched(
         )
         t_limits.append(tables[-1].shape[0])
 
-    if min(t_limits) >= 150_000:
+    from hygeia_tpu.single_group import theta_config as _tc
+
+    if min(t_limits) >= _tc.THETA_BLOCK_THRESHOLD:
         # Large chromosomes: blocked-multi — ALL (chromosome, block) units
         # of the batch ride one vmapped program with per-unit theta lanes
         # (single_group/blocked.py), instead of one whole-chromosome lane
@@ -1017,8 +1029,8 @@ def _single_group_on_counts_batched(
             [np.asarray(t, np.float32) for t in thetas],
             tables,
             cfg,
-            block_size=49152,
-            halo=4096,
+            block_size=_tc.THETA_BLOCK_SIZE,
+            halo=_tc.THETA_HALO,
         )
         for i, (_pre, sg_dir, chrom, _g) in enumerate(units):
             sg_dir = Path(sg_dir)
@@ -1058,10 +1070,14 @@ def _single_group_on_counts_batched(
         sg_dir = Path(sg_dir)
         sg_dir.mkdir(parents=True, exist_ok=True)
         T_u = t_limits[i]
+        # trace row t = theta after step t (row 0 = init): a length-T_u
+        # chromosome has T_u rows. The previous `: T_u - 1` slice dropped
+        # the final row — wrong exactly when the last ADAM update lands on
+        # step T_u - 1 (round-5 review finding).
         _write_sg_outputs(
             sg_dir, chrom, positions_all[i],
             probs[i, :T_u] if estimate_regimes else None,
-            traces[i, : T_u - 1], R, kappa,
+            traces[i, :T_u], R, kappa,
         )
 
 

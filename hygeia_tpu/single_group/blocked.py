@@ -59,6 +59,11 @@ from hygeia_tpu.single_group.engine import (
     EngineResult,
     run_online_combined_inference,
 )
+from hygeia_tpu.single_group.theta_config import (
+    THETA_BLOCK_SIZE,
+    THETA_HALO,
+    THETA_WARMUP_SITES,
+)
 
 # (model statics, cfg statics, variant) -> jitted program. Shapes (warmup
 # length, window, n_blocks) ride jit's own shape cache; model/emission
@@ -88,15 +93,6 @@ def _programs(model: SingleGroupModel, config: EngineConfig):
 
     warm_cfg = config._replace(estimate_regimes=False)
     su = config.steps_per_update
-
-    @jax.jit
-    def warmup(key, alpha, beta, kappa0, theta_init, E):
-        res = run_online_combined_inference(
-            key, _model(alpha, beta, kappa0), theta_init, E, warm_cfg
-        )
-        n_upd = max(0, (E.shape[0] - 1) // su)
-        upd_rows = res.theta_trace[jnp.arange(1, n_upd + 1) * su]
-        return res.final_theta, res.final_opt_state, upd_rows
 
     @jax.jit
     def single(key, alpha, beta, kappa0, theta_init, E):
@@ -154,7 +150,6 @@ def _programs(model: SingleGroupModel, config: EngineConfig):
         return jax.vmap(one)(keys, theta0s, adam0s, E_blocks)
 
     progs = {
-        "warmup": warmup,
         "warmup_multi": warmup_multi,
         "single": single,
         "blocks": blocks,
@@ -168,9 +163,9 @@ def aot_compile_jobs(
     config: EngineConfig,
     T: int,
     *,
-    block_size: int = 49152,
-    halo: int = 4096,
-    warmup_sites: int = 65536,
+    block_size: int = THETA_BLOCK_SIZE,
+    halo: int = THETA_HALO,
+    warmup_sites: int = THETA_WARMUP_SITES,
 ):
     """Zero-arg callables AOT-compiling the blocked theta-stage program set
     (warmup + blocks) for a chromosome of T sites — program acquisition
@@ -227,9 +222,9 @@ def run_online_combined_inference_blocked(
     emissions,  # (T, R) emission log-lik table, concrete (host) array
     config: EngineConfig,
     *,
-    block_size: int = 65536,
-    halo: int = 4096,
-    warmup_sites: int = 65536,
+    block_size: int = THETA_BLOCK_SIZE,
+    halo: int = THETA_HALO,
+    warmup_sites: int = THETA_WARMUP_SITES,
 ) -> EngineResult:
     """Blocked drop-in for run_online_combined_inference at chromosome scale.
 
@@ -249,9 +244,9 @@ def run_online_combined_inference_blocked_multi(
     emissions_list,  # [C] per-chromosome (T_c, R) tables (equal T_c not required)
     config: EngineConfig,
     *,
-    block_size: int = 65536,
-    halo: int = 4096,
-    warmup_sites: int = 65536,
+    block_size: int = THETA_BLOCK_SIZE,
+    halo: int = THETA_HALO,
+    warmup_sites: int = THETA_WARMUP_SITES,
 ):
     """Blocked theta stage over SEVERAL chromosomes in one program set:
     per-chromosome warmup chains run vmapped (cropped to the shared

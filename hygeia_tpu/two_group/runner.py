@@ -66,20 +66,20 @@ def prewarm_chromosome_streamed(
 ):
     """Best-effort cache priming for the streamed-batched INFER stage.
 
-    Runs the streamed program set on ZERO counts at exactly the shapes
-    infer_chromosome_streamed will request (window-length groups, HBM-capped
-    unit batch) so the remote compile-cache fetches happen BEFORE (or, when
-    called from a background thread, DURING) the single-group theta stage
+    AOT-compiles the streamed program set at exactly the shapes
+    infer_chromosome_streamed will request (window-length groups, one
+    shared d_max + vmap width) so the compile-cache fetches happen BEFORE
+    (or, from a background thread, DURING) the single-group theta stage
     instead of serialising in front of the first INFER dispatch — a
     fresh-process run otherwise pays minutes of serial program acquisition
     (CLAUDE.md rule 6/6b; the reference container pays no compile tax,
     modules/two_group/4_infer.nf:44-49). Shape planning mirrors
     infer_chromosome_streamed; drift only wastes the prewarm, never changes
-    results. Zero-read sites have emission log-lik 0, so the zero run is
-    numerically inert (uniform weights throughout).
+    results.
 
-    Idempotent per configuration: a second call (e.g. the warm pass of a
-    two-pass bench) is a no-op."""
+    Idempotent per configuration: a second SUCCESSFUL run=True call (e.g.
+    the warm pass of a two-pass bench) is a no-op; a failed attempt leaves
+    the configuration unmarked so a retry can prime it."""
     from concurrent.futures import ThreadPoolExecutor
 
     from hygeia_tpu.two_group.streaming import aot_compile_jobs
@@ -92,7 +92,6 @@ def prewarm_chromosome_streamed(
     )
     if cfg_key in _PREWARMED:
         return 0 if run else []
-    _PREWARMED.add(cfg_key)
 
     mu = np.asarray(mu, np.float64)
     R = len(mu)
@@ -151,16 +150,22 @@ def prewarm_chromosome_streamed(
             )
         )
     if not run:
+        # Callers (the orchestrator's prewarm thread) execute the jobs
+        # themselves; mark primed now so a second collection is a no-op.
+        _PREWARMED.add(cfg_key)
         return jobs
     # Program fetches parallelise (the ~20 s each is service latency, not
     # local CPU); a modest pool covers the whole set in ~one latency.
+    ok = True
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(jobs)))) as pool:
         futures = [pool.submit(j) for j in jobs]
         for f in futures:
             try:
                 f.result()
             except Exception:  # noqa: BLE001 — priming is best-effort
-                pass
+                ok = False
+    if ok:
+        _PREWARMED.add(cfg_key)
     return len(jobs)
 
 
@@ -569,63 +574,66 @@ def infer_chromosome_streamed(
 
     _io_pool = ThreadPoolExecutor(max_workers=2)
     io_futures = []
-
-    # Per-batch windows, sliced counts, input CSVs (infer_segment parity).
-    # The input-CSV writes ride the writer pool so their zlib/formatting
-    # (GIL-releasing) overlaps the emission builds and the first compute
-    # dispatch instead of serialising before it.
-    wins = {}
-    for batch in range(n_batches):
-        window = segment_window(
-            len(positions_all), batch, segment_size, buffer_size
-        )
-        if window is None:
-            continue
-        sl_r, ret_r = window
-        sl = slice(sl_r.start, sl_r.stop)
-        ret = slice(ret_r.start, ret_r.stop)
-        counts = {
-            "n_meth_control": n_meth_control_all[sl],
-            "n_total_control": n_total_control_all[sl],
-            "n_meth_case": n_meth_case_all[sl],
-            "n_total_case": n_total_case_all[sl],
-        }
-        path = os.path.join(results_dir, f"chrom_{chrom}_{batch}")
-        os.makedirs(path, exist_ok=True)
-        for fname, arr in (
-            ("observations_control.csv.gz", counts["n_meth_control"].astype(np.int16)[ret]),
-            ("observations_case.csv.gz", counts["n_meth_case"].astype(np.int16)[ret]),
-            ("n_total_reads_control.csv.gz", counts["n_total_control"].astype(np.int16)[ret]),
-            ("n_total_reads_case.csv.gz", counts["n_total_case"].astype(np.int16)[ret]),
-            ("positions.csv.gz", positions_all[sl][ret]),
-        ):
-            io_futures.append(
-                _io_pool.submit(
-                    hio.write_count_matrix, os.path.join(path, fname), arr
-                )
-            )
-        wins[batch] = (sl.stop - sl.start, ret, counts, path)
-
-    all_log_norm = {b: {s: {} for s in seeds} for b in wins}
-    times = {b: {s: {} for s in seeds} for b in wins}
-    hbm_budget = float(os.environ.get("HYGEIA_HBM_BUDGET_GB", 13.5)) * 2**30
-
-    # Group batches by device-window length: same T_w -> same d_max, same
-    # program shapes -> batchable units.
-    groups = {}
-    for batch, (t_w, _, _, _) in wins.items():
-        groups.setdefault(t_w, []).append(batch)
-
-    # ONE d_max (the largest window) and ONE padded vmap width S across all
-    # window-length groups: the hazard tables then share one shape and the
-    # groups share the W-width block programs, roughly HALVING the program
-    # count a fresh process must acquire (~20 s per program even on
-    # compile-cache hits). Bit-parity is preserved — deeper hazard tables
-    # only add exact-zero one-hot terms to gather_rho's row reductions, and
-    # pad lanes are independent under vmap
-    # (test_infer_chromosome_streamed_matches_per_batch).
-    d_max_all = max(64, max(groups) + 1)
+    post_prev = []  # previous chunk's postprocess futures (memory bound)
+    # The try/finally guards the pool from its CREATION (an exception
+    # anywhere below — including the window-building submits — must not
+    # leak a 2-thread executor per orchestrator retry; commit c65cf86).
     try:
+        # Per-batch windows, sliced counts, input CSVs (infer_segment
+        # parity). The input-CSV writes ride the writer pool so their
+        # zlib/formatting (GIL-releasing) overlaps the emission builds and
+        # the first compute dispatch instead of serialising before it.
+        wins = {}
+        for batch in range(n_batches):
+            window = segment_window(
+                len(positions_all), batch, segment_size, buffer_size
+            )
+            if window is None:
+                continue
+            sl_r, ret_r = window
+            sl = slice(sl_r.start, sl_r.stop)
+            ret = slice(ret_r.start, ret_r.stop)
+            counts = {
+                "n_meth_control": n_meth_control_all[sl],
+                "n_total_control": n_total_control_all[sl],
+                "n_meth_case": n_meth_case_all[sl],
+                "n_total_case": n_total_case_all[sl],
+            }
+            path = os.path.join(results_dir, f"chrom_{chrom}_{batch}")
+            os.makedirs(path, exist_ok=True)
+            for fname, arr in (
+                ("observations_control.csv.gz", counts["n_meth_control"].astype(np.int16)[ret]),
+                ("observations_case.csv.gz", counts["n_meth_case"].astype(np.int16)[ret]),
+                ("n_total_reads_control.csv.gz", counts["n_total_control"].astype(np.int16)[ret]),
+                ("n_total_reads_case.csv.gz", counts["n_total_case"].astype(np.int16)[ret]),
+                ("positions.csv.gz", positions_all[sl][ret]),
+            ):
+                io_futures.append(
+                    _io_pool.submit(
+                        hio.write_count_matrix, os.path.join(path, fname), arr
+                    )
+                )
+            wins[batch] = (sl.stop - sl.start, ret, counts, path)
+
+        all_log_norm = {b: {s: {} for s in seeds} for b in wins}
+        times = {b: {s: {} for s in seeds} for b in wins}
+        hbm_budget = float(os.environ.get("HYGEIA_HBM_BUDGET_GB", 13.5)) * 2**30
+
+        # Group batches by device-window length: same T_w -> same d_max,
+        # same program shapes -> batchable units.
+        groups = {}
+        for batch, (t_w, _, _, _) in wins.items():
+            groups.setdefault(t_w, []).append(batch)
+
+        # ONE d_max (the largest window) and ONE padded vmap width S across
+        # all window-length groups: the hazard tables then share one shape
+        # and the groups share the W-width block programs, roughly HALVING
+        # the program count a fresh process must acquire (~20 s per program
+        # even on compile-cache hits). Bit-parity is preserved — deeper
+        # hazard tables only add exact-zero one-hot terms to gather_rho's
+        # row reductions, and pad lanes are independent under vmap
+        # (test_infer_chromosome_streamed_matches_per_batch).
+        d_max_all = max(64, max(groups) + 1)
 
         for M in num_resampled_particles:
             N = M * (2 * R + R * R)
@@ -771,8 +779,17 @@ def infer_chromosome_streamed(
                             regime_u[0],
                         )
 
-                    for i, (b, s) in enumerate(chunk):
-                        io_futures.append(_io_pool.submit(_postprocess, i, b, s))
+                    # Each future holds the whole chunk's traj_np alive;
+                    # draining the PREVIOUS chunk first bounds host memory
+                    # to <=2 chunk arrays while keeping the overlap of
+                    # chunk k-1's writes with chunk k's device compute.
+                    for f in post_prev:
+                        f.result()
+                    post_prev = [
+                        _io_pool.submit(_postprocess, i, b, s)
+                        for i, (b, s) in enumerate(chunk)
+                    ]
+                    io_futures.extend(post_prev)
 
     finally:
         # Join/shut the writer pool even when an attempt raises (the

@@ -54,8 +54,12 @@ class WorkdirMirror:
 
         # Snapshot the locally-completed stages BEFORE fetching anything:
         # the bucket also mirrors `.done` markers, and restoring one ahead of
-        # its stage's files would re-establish trust mid-restore.
-        done_dirs = {p.parent for p in root.rglob(".done")} if root.is_dir() else set()
+        # its stage's files would re-establish trust mid-restore. `.done*`
+        # covers per-chromosome markers too (the BED stage writes
+        # `.done_{chrom}`, orchestrator run_single_group).
+        done_dirs = (
+            {p.parent for p in root.rglob(".done*")} if root.is_dir() else set()
+        )
 
         def _stage_done_locally(dst: Path) -> bool:
             d = dst.parent

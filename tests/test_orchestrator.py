@@ -621,6 +621,12 @@ def test_batched_single_group_stage_matches_per_chromosome(tmp_path):
         tb = hio.read_theta(sgb / f"theta_{chrom}.csv.gz")
         ti = hio.read_theta(sgi / f"theta_{chrom}.csv.gz")
         np.testing.assert_allclose(tb, ti, rtol=2e-4, atol=1e-5, err_msg=chrom)
+        # The batched trace must have T rows like the per-unit trace — a
+        # `: T_u - 1` slice silently dropped the final row (and with it any
+        # last-step ADAM update; round-5 review finding).
+        trace_b = pd.read_csv(sgb / f"theta_trace_{chrom}.csv.gz")
+        trace_i = pd.read_csv(sgi / f"theta_trace_{chrom}.csv.gz")
+        assert len(trace_b) == len(trace_i) == lengths[chrom], chrom
         b = pd.read_csv(sgb / f"regime_probabilities_{chrom}.csv.gz")
         i = pd.read_csv(sgi / f"regime_probabilities_{chrom}.csv.gz")
         np.testing.assert_allclose(
